@@ -1,0 +1,173 @@
+"""Single-document sift pipeline: the scalar kernel the Spark UDFs wrap.
+
+Mirrors app.Run (/root/reference/internal/app/sift.go:79-104):
+
+  1. extract html -> markdown (selector | include-all | readability)
+  2. no search query: return full content, or apply the simple size limit
+  3. search query: chunk -> classify-filter -> BM25 rank (fallback to
+     strategy order) -> context selection -> format
+
+All byte-sensitive behavior stays in this one code path so Spark-side and
+test-side outputs are identical (SURVEY.md §4.2 "byte-identical parity").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import extract as extract_mod
+from .counters import TOKENS, Counter
+from .ranking import lexical_search
+from .selection import BEGINNING, ChunkSelector
+
+DEFAULT_MAX_UNITS = 2500  # cmd/sift/main.go:52-55 (no-search default)
+DEFAULT_CONTEXT_BEFORE = 1  # cmd/sift/main.go:119
+DEFAULT_CONTEXT_AFTER = 2  # cmd/sift/main.go:120
+
+
+@dataclass
+class SiftParams:
+    selector: str = ""
+    include_all: bool = False
+    max_units: int = DEFAULT_MAX_UNITS
+    counting_method: str = TOKENS
+    strategy: str = BEGINNING
+    search_query: str = ""
+    context_before: int = DEFAULT_CONTEXT_BEFORE
+    context_after: int = DEFAULT_CONTEXT_AFTER
+    context_units: int = 0
+    use_smart_context: bool = False
+    extra: dict = field(default_factory=dict)
+
+
+def extract_document(html, params):
+    """html (str) -> (markdown, error)."""
+    return extract_mod.to_markdown(
+        html, selector=params.selector, include_all=params.include_all
+    )
+
+
+def transform_text(text, params):
+    """Post-extraction transformations (app.Run steps 2+)."""
+    search_query = params.search_query.strip()
+    if not search_query:
+        if params.max_units <= 0:
+            return text
+        return apply_simple_size_limit(
+            text, params.max_units, params.counting_method
+        )
+    return _apply_search_transformations(text, params, search_query)
+
+
+def run_sift(html, params):
+    """Full per-document pipeline -> (result_text, error)."""
+    markdown, error = extract_document(html, params)
+    if error is not None:
+        return "", error
+    if markdown.strip() == "":
+        # processSource: empty extraction is an error for the combining
+        # layer (sift.go:154-156); single-row semantics -> empty + marker
+        return "", "no content extracted"
+    return transform_text(markdown, params), None
+
+
+def combine_documents(texts):
+    """Multi-source combination: skip failures, join with a blank line
+    (sift.go:107-130)."""
+    parts = [t for t in texts if t]
+    return "\n\n".join(parts)
+
+
+# ---- simple size limit (sift.go:305-372) -------------------------------------------
+
+
+def apply_simple_size_limit(content, max_units, counting_method):
+    if max_units <= 0:
+        return content
+    counter = Counter(counting_method)
+
+    # split into alternating word / whitespace tokens, preserving formatting
+    tokens = []
+    current = []
+    in_word = False
+    for ch in content:
+        is_space = ch in " \t\n\r"
+        if is_space and in_word:
+            if current:
+                tokens.append("".join(current))
+                current = []
+            in_word = False
+        if not is_space and not in_word:
+            in_word = True
+        current.append(ch)
+    if current:
+        tokens.append("".join(current))
+
+    result = []
+    current_units = 0
+    for token in tokens:
+        token_units = counter.count(token)
+        if current_units + token_units > max_units:
+            break
+        result.append(token)
+        current_units += token_units
+        if current_units >= max_units:
+            break
+    return "".join(result).rstrip(" \t\n\r")
+
+
+# ---- search path (sift.go:161-251) --------------------------------------------------
+
+
+def prepare_chunks(text, params):
+    """Chunk + classify filter -> (selector, chunks)
+    (sift.go:184-213)."""
+    selector = ChunkSelector(
+        params.counting_method, params.max_units, params.strategy
+    )
+    chunks = selector.prepare_chunks(text)
+    if chunks and not params.include_all:
+        chunks = selector.filter_extraneous(chunks)
+    return selector, chunks
+
+
+def _apply_search_transformations(text, params, search_query):
+    selector, chunks = prepare_chunks(text, params)
+    if not chunks:
+        return ""
+
+    if search_query:
+        scored = lexical_search(chunks, search_query)
+        ordered = selector.prepare_for_search(scored)
+        context_before = params.context_before
+        context_after = params.context_after
+    else:
+        ordered = selector.prepare_for_strategy(chunks)
+        context_before = 0
+        context_after = 0
+
+    return selector.select_with_context_config(
+        ordered,
+        chunks,
+        context_before,
+        context_after,
+        params.context_units,
+        params.use_smart_context,
+    )
+
+
+def apply_content_transformations(text, params):
+    """Non-search chunked path (used by tests mirroring
+    sift_test.go:50-208): chunk -> filter -> strategy order -> select."""
+    if text.strip() == "":
+        return ""
+    selector, chunks = prepare_chunks(text, params)
+    if not chunks:
+        return ""
+    search_query = params.search_query.strip()
+    if search_query:
+        return _apply_search_transformations(text, params, search_query)
+    ordered = selector.prepare_for_strategy(chunks)
+    return selector.select_with_context_config(
+        ordered, chunks, 0, 0, params.context_units, params.use_smart_context
+    )

@@ -1,0 +1,231 @@
+"""Porter2 (Snowball English) stemmer, from scratch.
+
+Implements the public Snowball "english" algorithm
+(https://snowballstem.org/algorithms/english/stemmer.html), which is what
+the reference uses via kljensen/snowball
+(/root/reference/internal/classify/classify.go:114, go.mod:10). The
+classifier's stopword set stores STEMMED forms ("navig", "glossari",
+"permiss", ...), so stemmer parity is required for classifier parity.
+
+Pure function, no state: safe to call from Arrow UDF batches.
+"""
+
+from __future__ import annotations
+
+VOWELS = frozenset("aeiouy")
+DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+LI_ENDINGS = frozenset("cdeghkmnrt")
+
+_EXCEPTIONS1 = {
+    "skis": "ski",
+    "skies": "sky",
+    "dying": "die",
+    "lying": "lie",
+    "tying": "tie",
+    "idly": "idl",
+    "gently": "gentl",
+    "ugly": "ugli",
+    "early": "earli",
+    "only": "onli",
+    "singly": "singl",
+    "sky": "sky",
+    "news": "news",
+    "howe": "howe",
+    "atlas": "atlas",
+    "cosmos": "cosmos",
+    "bias": "bias",
+    "andes": "andes",
+}
+
+_EXCEPTIONS2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring", "proceed", "exceed",
+     "succeed")
+)
+
+
+def _is_vowel(word, i):
+    return word[i] in VOWELS
+
+
+def _compute_r1_r2(word):
+    r1 = len(word)
+    # special prefixes fix R1 (Snowball spec)
+    for prefix in ("gener", "commun", "arsen"):
+        if word.startswith(prefix):
+            r1 = len(prefix)
+            break
+    else:
+        for i in range(1, len(word)):
+            if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+                r1 = i + 1
+                break
+    r2 = len(word)
+    for i in range(r1 + 1, len(word)):
+        if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _ends_short_syllable(word):
+    """True if word ends in a short syllable."""
+    n = len(word)
+    if n == 2:
+        return _is_vowel(word, 0) and not _is_vowel(word, 1)
+    if n >= 3:
+        # vowel at n-2 followed by non-vowel other than w, x, Y,
+        # preceded by a non-vowel
+        c = word[n - 1]
+        return (
+            _is_vowel(word, n - 2)
+            and not _is_vowel(word, n - 1)
+            and c not in "wxY"
+            and not _is_vowel(word, n - 3)
+        )
+    return False
+
+
+def _is_short(word, r1):
+    return r1 >= len(word) and _ends_short_syllable(word)
+
+
+def _contains_vowel(word, start, end):
+    return any(word[i] in VOWELS for i in range(start, end))
+
+
+def stem(word):
+    """Stem one token. Lowercases first (kljensen/snowball's
+    stemStopwOrds=true path lowercases input)."""
+    word = word.lower()
+    if len(word) <= 2:
+        return word
+
+    if word[0] == "'":
+        word = word[1:]
+    if word in _EXCEPTIONS1:
+        return _EXCEPTIONS1[word]
+
+    # mark consonant-y: initial y or y after vowel -> Y
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1, r2 = _compute_r1_r2(word)
+
+    # Step 0: strip 's / ' / 's'
+    for suffix in ("'s'", "'s", "'"):
+        if word.endswith(suffix):
+            word = word[: -len(suffix)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-3] + ("i" if len(word) - 3 > 1 else "ie")
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        # delete if the preceding word part contains a vowel not
+        # immediately before the s
+        if _contains_vowel(word, 0, len(word) - 2):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS2:
+        return word
+
+    # Step 1b
+    if word.endswith(("eedly", "eed")):
+        suffix_len = 5 if word.endswith("eedly") else 3
+        if len(word) - suffix_len >= r1:  # suffix entirely within R1
+            word = word[:-suffix_len] + "ee"
+    elif word.endswith(("ingly", "edly", "ing", "ed")):
+        for suffix in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suffix):
+                stem_part = word[: -len(suffix)]
+                if _contains_vowel(stem_part, 0, len(stem_part)):
+                    word = stem_part
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(DOUBLES):
+                        word = word[:-1]
+                    elif _is_short(word, r1):
+                        word += "e"
+                break
+
+    # Step 1c: y/Y -> i when preceded by a non-vowel which is not the
+    # first letter
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in VOWELS:
+        word = word[:-1] + "i"
+
+    # Step 2 (in R1)
+    step2 = (
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("bli", "ble"), ("ogi", "og"), ("li", ""),
+    )
+    for suffix, replacement in step2:
+        if word.endswith(suffix):
+            if len(word) - len(suffix) >= r1:
+                if suffix == "ogi":
+                    if word.endswith("logi"):
+                        word = word[:-1]
+                elif suffix == "li":
+                    if len(word) >= 3 and word[-3] in LI_ENDINGS:
+                        word = word[:-2]
+                else:
+                    word = word[: -len(suffix)] + replacement
+            break
+
+    # Step 3 (in R1)
+    step3 = (
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+        ("ative", ""), ("ful", ""), ("ness", ""),
+    )
+    for suffix, replacement in step3:
+        if word.endswith(suffix):
+            if len(word) - len(suffix) >= r1:
+                if suffix == "ative":
+                    if len(word) - len(suffix) >= r2:
+                        word = word[: -len(suffix)]
+                else:
+                    word = word[: -len(suffix)] + replacement
+            break
+
+    # Step 4 (in R2)
+    step4 = (
+        "ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+        "ion", "al", "er", "ic",
+    )
+    for suffix in step4:
+        if word.endswith(suffix):
+            if len(word) - len(suffix) >= r2:
+                if suffix == "ion":
+                    if len(word) >= 4 and word[-4] in "st":
+                        word = word[:-3]
+                else:
+                    word = word[: -len(suffix)]
+            break
+
+    # Step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2:
+            word = word[:-1]
+        elif len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1]):
+            word = word[:-1]
+    elif word.endswith("l"):
+        if len(word) - 1 >= r2 and len(word) >= 2 and word[-2] == "l":
+            word = word[:-1]
+
+    return word.replace("Y", "y")
