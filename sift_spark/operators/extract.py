@@ -1,0 +1,149 @@
+"""Vectorized extraction operators (the north-rule UDF family).
+
+Design (SURVEY.md §4.2): extraction is embarrassingly parallel per
+document, so the whole per-document chain (HTML -> DOM -> readability ->
+markdown -> chunk -> classify -> rank -> select) runs inside ONE
+Arrow-batched pandas UDF -- a narrow transformation with ZERO shuffles.
+At 10^12 documents the plan is:  scan -> (repartition by url-hash range,
+plans/partitioning.py) -> mapPartitions-equivalent UDF -> write.  Catalyst
+prunes the fat `html BINARY` column everywhere except this stage because
+downstream operators select only the output columns.
+
+Failure tolerance: per-row errors (selector misses, oversized input) are
+routed to an `error` column instead of failing the task, promoting the
+reference's warn-and-continue loop (sift.go:107-130) to data parallelism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.counters import Counter
+from ..core.pipeline import SiftParams, extract_document, prepare_chunks, transform_text
+
+# admission caps (fetch.go:20-21): files 50 MB, HTTP 100 MB
+MAX_HTML_BYTES = 100 * 1024 * 1024
+
+EXTRACT_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("n_units", T.IntegerType()),
+    ]
+)
+
+
+def _decode(raw):
+    if raw is None:
+        return None
+    if isinstance(raw, (bytes, bytearray)):
+        return bytes(raw).decode("utf-8", errors="replace")
+    return str(raw)
+
+
+def _run_one(html_bytes, params, counter):
+    """Per-document kernel shared by the batch UDFs."""
+    if html_bytes is None:
+        return None, "no content", 0, 0
+    if len(html_bytes) > MAX_HTML_BYTES:
+        return None, f"content too large: {len(html_bytes)} bytes", 0, 0
+    html = _decode(html_bytes)
+    markdown, error = extract_document(html, params)
+    if error is not None:
+        return None, error, 0, 0
+    if markdown.strip() == "":
+        return None, "no content extracted", 0, 0
+    result = transform_text(markdown, params)
+    _, chunks = prepare_chunks(result, params) if result else (None, [])
+    return result, None, len(chunks), counter.count(result)
+
+
+def make_extract_udf(params: SiftParams):
+    """pandas UDF: html BINARY -> struct(text, error, n_chunks, n_units).
+
+    Arrow-batched (no per-row Python dispatch); the closure captures the
+    job params so the plan stays a single narrow projection.
+    """
+
+    @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
+    def extract_batch(html: pd.Series) -> pd.DataFrame:
+        counter = Counter(params.counting_method)
+        texts, errors, n_chunks_list, n_units_list = [], [], [], []
+        for raw in html:
+            text, error, n_chunks, n_units = _run_one(raw, params, counter)
+            texts.append(text)
+            errors.append(error)
+            n_chunks_list.append(n_chunks)
+            n_units_list.append(n_units)
+        return pd.DataFrame(
+            {
+                "text": texts,
+                "error": errors,
+                "n_chunks": n_chunks_list,
+                "n_units": n_units_list,
+            }
+        )
+
+    return extract_batch
+
+
+def make_markdown_udf(params: SiftParams):
+    """pandas UDF: html BINARY -> struct(text, error) -- extraction only,
+    no size limiting (the `text_md` intermediate of SURVEY.md §1.1)."""
+    schema = T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("error", T.StringType())]
+    )
+
+    @F.pandas_udf(schema)
+    def markdown_batch(html: pd.Series) -> pd.DataFrame:
+        texts, errors = [], []
+        for raw in html:
+            if raw is None:
+                texts.append(None)
+                errors.append("no content")
+                continue
+            markdown, error = extract_document(_decode(raw), params)
+            texts.append(markdown if error is None else None)
+            errors.append(error)
+        return pd.DataFrame({"text": texts, "error": errors})
+
+    return markdown_batch
+
+
+def extract_pages(pages_df, params: SiftParams | None = None):
+    """pages(url, warc_ts, html, text, lang) -> extracted(url, text,
+    n_chunks, n_units, error, part_id).
+
+    One narrow stage; part_id records physical lineage for the checkpoint
+    layer (plans/lineage.py)."""
+    params = params or SiftParams()
+    udf = make_extract_udf(params)
+    result = pages_df.select(
+        "url",
+        udf(F.col("html")).alias("r"),
+        F.spark_partition_id().alias("part_id"),
+    )
+    return result.select(
+        "url",
+        F.col("r.text").alias("text"),
+        F.col("r.n_chunks").alias("n_chunks"),
+        F.col("r.n_units").alias("n_units"),
+        F.col("r.error").alias("error"),
+        "part_id",
+    )
+
+
+def extract_markdown(pages_df, params: SiftParams | None = None):
+    """pages -> (url, text_md, error): the extraction stage alone."""
+    params = params or SiftParams()
+    udf = make_markdown_udf(params)
+    return pages_df.select(
+        "url", udf(F.col("html")).alias("r")
+    ).select(
+        "url",
+        F.col("r.text").alias("text_md"),
+        F.col("r.error").alias("error"),
+    )

@@ -1,0 +1,192 @@
+"""Selection operators: strategy rank expressions, cumulative-sum budget
+windows, exact grouped-map selection, formatting aggregation.
+
+Two tiers (SURVEY.md §2.6-2.8):
+
+relational tier (pure window math, fully distributed, used for analytics
+and the oracle gate):
+  * strategy_rank: beginning / end / middle-out as closed-form rank exprs
+  * budget_filter: cumulative-sum window + filter (selects the same WHOLE
+    chunks as the reference's accumulation loop when no partial chunk is
+    produced)
+  * separators + lag-based overlap handling as column exprs
+
+exact tier (byte parity): the reference's selection loop is
+order-dependent with a shared budget and partial boundary chunks
+(chunk_selection.go:522-714) -- inherently sequential per url -> grouped
+applyInPandas calling the core kernel. Cheap: per-url chunk counts are
+small; the shuffle key is url, same partitioning as everything else.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.pipeline import SiftParams
+from ..core.selection import BEGINNING, END, MIDDLE, ChunkSelector
+
+# ---- relational tier ---------------------------------------------------------------
+
+
+def strategy_rank_col(strategy, chunk_idx, n_chunks):
+    """Closed-form selection-order rank (chunk_selection.go:420-474).
+
+    middle-out: start at n//2, then alternate right-before-left; the rank
+    of index i is  2*(i - m) - 1  for i > m  and  2*(m - i)  for i < m
+    (right neighbor precedes left at equal distance, asserted order
+    [2,3,1,4,0] in chunk_selection_test.go:532)."""
+    if strategy == BEGINNING:
+        return chunk_idx
+    if strategy == END:
+        return n_chunks - 1 - chunk_idx
+    if strategy == MIDDLE:
+        middle = (n_chunks / 2).cast("int")
+        return (
+            F.when(chunk_idx == middle, F.lit(0))
+            .when(chunk_idx > middle, 2 * (chunk_idx - middle) - 1)
+            .otherwise(2 * (middle - chunk_idx))
+        )
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def with_strategy_rank(chunks_df, strategy):
+    return chunks_df.withColumn(
+        "sel_rank",
+        strategy_rank_col(strategy, F.col("chunk_idx"), F.col("n_chunks")),
+    )
+
+
+def budget_filter(ranked_df, max_units):
+    """Keep chunks while the running unit total (in selection order) stays
+    within budget: cumulative-sum window, map-side friendly.
+
+    This is the relational form of the accumulation loop; it selects the
+    same whole-chunk set, without the partial boundary chunk (the exact
+    tier adds that)."""
+    if max_units <= 0:
+        return ranked_df
+    window = (
+        Window.partitionBy("url")
+        .orderBy("sel_rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranked_df.withColumn(
+        "cum_units", F.sum("n_units").over(window)
+    ).filter(F.col("cum_units") <= max_units)
+
+
+def separator_col(is_search_mode=False):
+    """Smart separator between consecutive selected chunks as lag-based
+    column math (chunk_selection.go:203-230, gap marker :184-187)."""
+    window = Window.partitionBy("url").orderBy("chunk_idx")
+    prev_text = F.lag("chunk_text").over(window)
+    prev_idx = F.lag("chunk_idx").over(window)
+    prev_trimmed = F.trim(prev_text)
+    base = (
+        F.when(prev_text.isNull(), F.lit(""))
+        .when(prev_trimmed == "", F.lit("\n\n"))
+        .when(prev_text.endswith("\n\n"), F.lit("\n\n"))
+        .when(prev_text.endswith("\n"), F.lit("\n"))
+        .when(
+            prev_trimmed.rlike(r"[.!?]$") & (F.length(prev_trimmed) > 40),
+            F.lit("\n\n"),
+        )
+        .otherwise(F.lit("\n"))
+    )
+    if is_search_mode:
+        return F.when(
+            prev_idx.isNotNull() & (F.col("chunk_idx") != prev_idx + 1),
+            F.lit("\n\n---\n\n"),
+        ).otherwise(base)
+    return base
+
+
+def format_selected(selected_df, is_search_mode=False):
+    """Final formatting aggregation: document order, separators, concat
+    (chunk_selection.go:161-199) -> (url, text).
+
+    Overlap-prefix removal needs word-sequence matching -> handled in the
+    exact tier; selected chunks here are distinct whole chunks, for which
+    the separator rule alone reproduces the reference output."""
+    with_sep = selected_df.withColumn("sep", separator_col(is_search_mode))
+    return (
+        with_sep.groupBy("url")
+        .agg(
+            F.concat_ws(
+                "",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("chunk_idx", "sep", "chunk_text")
+                            )
+                        ),
+                        lambda s: F.array(s["sep"], s["chunk_text"]),
+                    )
+                ),
+            ).alias("text")
+        )
+    )
+
+
+# ---- exact tier --------------------------------------------------------------------
+
+_SELECT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_selected", T.IntegerType()),
+    ]
+)
+
+
+def select_exact(chunks_df, params: SiftParams, scored=False):
+    """Grouped-map selection with byte-exact reference semantics.
+
+    chunks_df: url, chunk_idx, chunk_text, [score], [is_extraneous]
+    Applies the classifier filter (unless include_all), strategy or score
+    ordering, fixed/smart context, partials, separators, overlap removal
+    -- by calling the same core kernel the tests verify."""
+    has_filter = "is_extraneous" in chunks_df.columns
+    has_score = scored and "score" in chunks_df.columns
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_idx")
+        url = pdf["url"].iloc[0]
+        chunks = pdf["chunk_text"].tolist()
+        if has_filter and not params.include_all:
+            keep = ~pdf["is_extraneous"].to_numpy()
+            chunks = [c for c, k in zip(chunks, keep) if k]
+        if not chunks:
+            return pd.DataFrame({"url": [url], "text": [""], "n_selected": [0]})
+
+        selector = ChunkSelector(
+            params.counting_method, params.max_units, params.strategy
+        )
+        if has_score:
+            scores = (
+                pdf.loc[~pdf["is_extraneous"], "score"].tolist()
+                if has_filter and not params.include_all
+                else pdf["score"].tolist()
+            )
+            triples = sorted(
+                [(c, s, i) for i, (c, s) in enumerate(zip(chunks, scores))],
+                key=lambda t: (-t[1], t[2]),
+            )
+            ordered = selector.prepare_for_search(triples)
+            before, after = params.context_before, params.context_after
+        else:
+            ordered = selector.prepare_for_strategy(chunks)
+            before, after = 0, 0
+        text = selector.select_with_context_config(
+            ordered, chunks, before, after,
+            params.context_units, params.use_smart_context,
+        )
+        return pd.DataFrame(
+            {"url": [url], "text": [text], "n_selected": [len(chunks)]}
+        )
+
+    return chunks_df.groupBy("url").applyInPandas(run_group, _SELECT_SCHEMA)

@@ -1,0 +1,46 @@
+"""SparkSession factory with engine defaults.
+
+Tuned for the extraction workload (SURVEY.md §4): AQE on (runtime
+coalesce + skew-join splitting), Arrow batches capped small because the
+`html` column carries fat binary rows (admission cap is 100 MB per row --
+fetch.go:21 -- so a default 10k-row Arrow batch could be ~1 TB; 64-256
+rows keeps a batch under executor memory at the cap while still amortizing
+UDF overhead on typical pages).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name="sift-spark",
+    cores=None,
+    shuffle_partitions=None,
+    arrow_batch_rows=256,
+    extra_conf=None,
+):
+    master = f"local[{cores}]" if cores else "local[*]"
+    shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(shuffle))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
