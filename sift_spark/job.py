@@ -1,0 +1,122 @@
+"""The extraction job: spark-submit entry point.
+
+  spark-submit --py-files sift_spark.zip -m sift_spark.job \
+      --input /path/pages_parquet --output /path/out \
+      --n-parts 256 [--selector CSS] [--include-all] [--search QUERY] ...
+
+Plan shape (one shuffle total):
+  scan pages (column-pruned: url + html [+ length]) ->
+  repartition by salted url-hash part (plans/partitioning.py) ->
+  vectorized extraction UDF (narrow) ->
+  write parquet partitioned by part_id + lineage commit (plans/lineage.py)
+
+Re-running the same command resumes: completed parts are anti-joined out
+and their files untouched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import uuid
+
+from pyspark.sql import functions as F
+
+from .core.counters import CHARS, TOKENS, WORDS
+from .core.pipeline import SiftParams
+from .operators.extract import extract_pages
+from .plans import lineage, partitioning
+from .session import get_spark
+
+
+def run_extraction_job(
+    spark,
+    pages_df,
+    output_dir,
+    params: SiftParams | None = None,
+    n_parts=64,
+    resume=True,
+    run_id=None,
+):
+    """Returns the lineage metrics DataFrame for the parts processed this
+    run (empty if everything was already complete)."""
+    params = params or SiftParams()
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    partitioned = partitioning.partition_pages(pages_df, n_parts)
+    pending = (
+        lineage.pending_pages(spark, partitioned, output_dir)
+        if resume
+        else partitioned
+    )
+
+    bytes_in = pending.groupBy("part_id").agg(
+        F.sum(F.length("html")).alias("bytes_in")
+    )
+
+    extracted = extract_pages(pending, params).drop("part_id")
+    # logical part_id (stable), not the physical spark partition id
+    extracted = extracted.withColumn(
+        "part_id", partitioning.part_id_col(n_parts)
+    )
+
+    return lineage.commit(spark, extracted, bytes_in, output_dir, run_id)
+
+
+def _build_params(args):
+    method = {"tokens": TOKENS, "words": WORDS, "chars": CHARS}[args.method]
+    return SiftParams(
+        selector=args.selector or "",
+        include_all=args.include_all,
+        max_units=args.max_units,
+        counting_method=method,
+        strategy=args.strategy,
+        search_query=args.search or "",
+        context_before=args.context_before,
+        context_after=args.context_after,
+        context_units=args.context_units,
+        use_smart_context=args.context_units > 0,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="sift-spark extraction job")
+    parser.add_argument("--input", required=True, help="pages parquet path")
+    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument("--n-parts", type=int, default=64)
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--selector", default="")
+    parser.add_argument("--include-all", action="store_true")
+    parser.add_argument("--max-units", type=int, default=0)
+    parser.add_argument("--method", default="words",
+                        choices=["tokens", "words", "chars"])
+    parser.add_argument("--strategy", default="beginning",
+                        choices=["beginning", "middle", "end"])
+    parser.add_argument("--search", default="")
+    parser.add_argument("--context-before", type=int, default=1)
+    parser.add_argument("--context-after", type=int, default=2)
+    parser.add_argument("--context-units", type=int, default=0)
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name="sift-spark-job", cores=args.cores)
+    pages = spark.read.parquet(args.input)
+    metrics = run_extraction_job(
+        spark,
+        pages,
+        args.output,
+        params=_build_params(args),
+        n_parts=args.n_parts,
+        resume=not args.no_resume,
+    )
+    summary = metrics.agg(
+        F.sum("n_docs"), F.sum("n_errors"), F.sum("bytes_in"), F.sum("bytes_out")
+    ).first()
+    print(
+        f"processed docs={summary[0]} errors={summary[1]} "
+        f"bytes_in={summary[2]} bytes_out={summary[3]}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
