@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines.
+
+All Spark-first: hashing, shingling and banding stay in native column
+expressions (xxhash64 / md5 / sequence+transform -> whole-stage codegen);
+Python appears only where bit-level math needs numpy (simhash), and then
+as Arrow-vectorized batches.
+
+Scale notes (100 TB):
+  * exact dedup: one shuffle on the 128-bit content hash (not the text!)
+    -- group keys are 16 bytes regardless of document size
+  * minhash-LSH: signatures are H native min-aggregations over a single
+    shingle explode; banding turns O(n^2) similarity into equi-join on
+    (band_idx, band_hash) -- the classic shuffle-friendly formulation;
+    candidate verification re-joins only the candidate pairs
+  * shingle explode multiplies rows by ~doc_len; for 100 TB use k-char
+    shingles SAMPLED by hash (keep shingles with pmod(hash, s)=0) --
+    exposed via `sample_mod`
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalized_text_col(col):
+    """Whitespace/case normalization for content hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs_df, id_col="doc_id", text_col="text"):
+    """Hash-groupBy exact dedup -> (content_hash, n_dups, keep_id).
+    Groups with n_dups > 1 are duplicate sets; keep_id = min id."""
+    hashed = docs_df.select(
+        F.col(id_col),
+        F.md5(normalized_text_col(F.col(text_col))).alias("content_hash"),
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id")
+    )
+
+
+def dedup_exact(docs_df, id_col="doc_id", text_col="text"):
+    """Keep one representative per exact-duplicate group (the min id)."""
+    hashed = docs_df.withColumn(
+        "content_hash", F.md5(normalized_text_col(F.col(text_col)))
+    )
+    keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, ["content_hash", id_col]).drop("content_hash")
+
+
+def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
+                  sample_mod=None):
+    """(id, shingle) via native sequence+substring explode -- no UDF.
+    sample_mod=s keeps only shingles with pmod(xxhash64(shingle), s)=0
+    (hash-deterministic sampling for the 100 TB tier)."""
+    normalized = normalized_text_col(F.col(text_col))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))
+    )
+    shingles = docs_df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(positions, lambda i: normalized.substr(i, F.lit(k)))
+        ).alias("shingle"),
+    ).distinct()
+    if sample_mod:
+        shingles = shingles.filter(
+            F.pmod(F.xxhash64("shingle"), F.lit(sample_mod)) == 0
+        )
+    return shingles
+
+
+def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text"):
+    """(id, ngram) word n-grams, native: split -> sliding window via
+    sequence/transform -> explode."""
+    words = F.filter(
+        F.split(normalized_text_col(F.col(text_col)), " "), lambda w: w != ""
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return docs_df.select(
+        F.col(id_col), F.explode(grams).alias("ngram")
+    ).distinct()
+
+
+def minhash_signatures(shingles_df, n_hashes=32, id_col="doc_id"):
+    """(id, sig ARRAY<BIGINT>): H independent min-hashes as H native
+    min() aggregations over ONE explode -- map-side partial aggregation
+    makes this a single cheap shuffle."""
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = shingles_df.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id"):
+    """Band the signatures and equi-join on (band_idx, band_hash):
+    returns candidate (id_a, id_b) pairs with id_a < id_b."""
+    n_hashes = len(sig_df.select("sig").first()["sig"])
+    rows_per_band = n_hashes // n_bands
+    bands = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    .cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
+                  candidates=None, shingle_col="shingle"):
+    """Exact n-gram Jaccard between documents sharing at least one
+    shingle/ngram (optionally restricted to LSH candidates):
+    (id_a, id_b, n_common, jaccard)."""
+    if shingle_col != "shingle":
+        shingles_df = shingles_df.withColumnRenamed(shingle_col, "shingle")
+    sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = shingles_df.alias("a")
+    b = shingles_df.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, ["id_a", "id_b"])
+    result = (
+        common.join(
+            F.broadcast(sizes.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed("n_shingles", "size_a")), "id_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed(id_col, "id_b")
+                        .withColumnRenamed("n_shingles", "size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .select("id_a", "id_b", "n_common", F.round("jaccard", 6).alias("jaccard"))
+    )
+    if min_jaccard > 0:
+        result = result.filter(F.col("jaccard") >= min_jaccard)
+    return result
+
+
+def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
+                            min_jaccard=0.7, id_col="doc_id",
+                            text_col="text", sample_mod=None):
+    """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
+    bucket-join -> exact-jaccard verify."""
+    shingles = char_shingles(docs_df, k, id_col, text_col, sample_mod)
+    sigs = minhash_signatures(shingles, n_hashes, id_col)
+    candidates = lsh_candidate_pairs(sigs, n_bands, id_col)
+    return jaccard_pairs(shingles, id_col, min_jaccard, candidates)
+
+
+# ---- simhash -----------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (numpy-vectorized per document).
+    Deterministic: FNV-1a per token, sign-sum per bit."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for row_idx, value in enumerate(text):
+        if not value:
+            continue
+        tokens = value.lower().split()
+        if not tokens:
+            continue
+        hashes = np.fromiter(
+            (_fnv1a64(tok) for tok in tokens), dtype=np.uint64, count=len(tokens)
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        acc = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for bit_idx in range(64):
+            if acc[bit_idx] > 0:
+                sim |= np.uint64(1) << np.uint64(bit_idx)
+        out[row_idx] = np.int64(sim)
+    return pd.Series(out)
+
+
+def _fnv1a64(token):
+    value = 0xCBF29CE484222325
+    for byte in token.encode("utf-8"):
+        value ^= byte
+        value = (value * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return value
+
+
+def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
+                            text_col="text"):
+    """SimHash near-dup: candidate blocking on 16-bit chunks (a hash
+    differing in <= 3 of 64 bits matches on at least one of 4 chunks --
+    pigeonhole), then exact Hamming verify via bit_count (native)."""
+    hashed = docs_df.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    ).cache()
+    chunks = hashed.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k entirely in native expressions
+(zip_with + aggregate -> whole-stage codegen, no Python). Scale path:
+random-hyperplane LSH bucketing turns the scan into a bucket-pruned
+lookup; embedding-cosine near-dup pairs reuse the same buckets.
+
+At 100 TB the brute-force form is a single narrow scan + a per-partition
+top-k (TakeOrderedAndProject: Spark keeps k rows per partition, then k on
+the driver -- no global sort). The LSH form prunes the scan by bucket
+equi-join, the standard trade of recall for scan volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_col(a, b):
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(emb_df, query_vec, k=10, id_col="vec_id", vec_col="embedding"):
+    """Brute-force cosine top-k against a constant query vector.
+    Deterministic tiebreak on id."""
+    query = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb_df.select(
+        F.col(id_col),
+        F.round(cosine_col(F.col(vec_col).cast("array<double>"), query), 6).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_bucket_col(vec_col, planes):
+    """LSH bucket id: sign bits against fixed random hyperplanes
+    (deterministic: planes are passed in, generated from a seed by the
+    caller). Native: one bit per plane, packed into a BIGINT."""
+    bits = [
+        F.when(dot_col(vec_col, F.array(*[F.lit(float(v)) for v in plane]))
+               >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    bucket = bits[0]
+    for bit in bits[1:]:
+        bucket = bucket + bit
+    return bucket
+
+
+def make_hyperplanes(dim, n_planes=8, seed=42):
+    """Deterministic pseudo-random hyperplanes (pure function of seed)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_cosine_topk(emb_df, query_vec, k=10, n_planes=8, seed=42,
+                    id_col="vec_id", vec_col="embedding", probe_hamming=1):
+    """Bucket-pruned ANN: scan only vectors whose hyperplane signature is
+    within `probe_hamming` bits of the query's (multi-probe)."""
+    dim = len(query_vec)
+    planes = make_hyperplanes(dim, n_planes, seed)
+
+    def signature(vec):
+        bucket = 0
+        for i, plane in enumerate(planes):
+            if sum(x * y for x, y in zip(vec, plane)) >= 0:
+                bucket |= 1 << i
+        return bucket
+
+    query_sig = signature([float(v) for v in query_vec])
+    probes = [query_sig]
+    if probe_hamming >= 1:
+        probes += [query_sig ^ (1 << i) for i in range(n_planes)]
+
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = emb_df.withColumn("bucket", hyperplane_bucket_col(vec, planes))
+    pruned = bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_duplicates(emb_df, min_cosine=0.95, n_planes=10, seed=42,
+                              id_col="vec_id", vec_col="embedding"):
+    """Embedding-cosine near-dup pairs: bucket join (same signature) then
+    exact cosine verify. At 100 TB, bucket sizes are the knob: more
+    planes -> smaller buckets -> cheaper join, lower recall."""
+    first = emb_df.select(vec_col).first()
+    if first is None:
+        return emb_df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = len(first[vec_col])
+    planes = make_hyperplanes(dim, n_planes, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = emb_df.select(
+        F.col(id_col), vec.alias("v"),
+        hyperplane_bucket_col(vec, planes).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

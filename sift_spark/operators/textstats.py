@@ -1,0 +1,152 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything here is NATIVE column math (regexp / split / aggregate) so the
+whole stage compiles to JVM codegen -- these run over every document of a
+100 TB corpus, so no Python in the path. The winnowing fingerprint
+(sampled k-gram hashes) is the one windowed construct and still native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram/stopword heuristic -- small,
+# deterministic, SQL-expressible (the same lists appear in oracle_sql)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit"],
+    "es": ["el", "la", "los", "que", "de", "es", "con"],
+    "fr": ["le", "la", "les", "et", "est", "que", "dans"],
+}
+
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words_col(col):
+    return F.filter(F.split(F.lower(col), r"[^a-z']+"), lambda w: w != "")
+
+
+def marker_hits_col(col, markers):
+    words = words_col(col)
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+
+def lang_id_col(col):
+    """Heuristic language guess: argmax of marker-word hit counts,
+    'und' (undetermined) when nothing matches. Deterministic tie-break by
+    language order en > de > es > fr."""
+    hits = {lang: marker_hits_col(col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_cols(col):
+    """Quality-scoring feature columns (all native):
+    n_chars, n_words, mean_word_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio, quality_score in [0,1]."""
+    n_chars = F.length(col)
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_word_len = F.when(n_words > 0,
+                           (n_chars - n_words + 1).cast("double") / n_words
+                           ).otherwise(F.lit(0.0))
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()-]", ""))
+    n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    en_markers = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(
+        F.filter(words_col(col), lambda w: F.array_contains(en_markers, w))
+    )
+    lower_words = words_col(col)
+    stop_ratio = F.when(
+        F.size(lower_words) > 0,
+        stop_hits.cast("double") / F.size(lower_words),
+    ).otherwise(F.lit(0.0))
+
+    # simple monotone quality score: length sweet spot, moderate
+    # punctuation, some stopwords, few digits
+    length_score = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(
+        n_punct.cast("double") / safe_chars * 10.0, F.lit(1.0)
+    )
+    digit_score = F.lit(1.0) - F.least(
+        n_digit.cast("double") / safe_chars * 5.0, F.lit(1.0)
+    )
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    quality = F.round(
+        (length_score + punct_score + digit_score + stop_score) / 4.0, 6
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 6),
+        "punct_ratio": F.round(n_punct / safe_chars, 6),
+        "digit_ratio": F.round(n_digit / safe_chars, 6),
+        "upper_ratio": F.round(n_upper / safe_chars, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "quality_score": quality,
+    }
+
+
+def token_count_col(col):
+    """BPE-ish token estimate: regex token classes (letters / digits /
+    punctuation marks), native regexp_count."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def whitespace_token_count_col(col):
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+
+
+def fingerprint_col(col):
+    """Whole-document fingerprint: md5 of normalized text (exactly
+    reproducible in any SQL engine for the oracle gate)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def winnowing_fingerprints(docs_df, k=8, window=4, id_col="doc_id",
+                           text_col="text"):
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
+    keep the min hash of each sliding window -> (id, fingerprint) set.
+    Native: shingle explode + floor-window min aggregation."""
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))
+    )
+    grams = docs_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(positions, lambda i: F.xxhash64(normalized.substr(i, F.lit(k))))
+        ).alias("pos", "gram_hash"),
+    )
+    return (
+        grams.withColumn("win", (F.col("pos") / window).cast("int"))
+        .groupBy(id_col, "win")
+        .agg(F.min("gram_hash").alias("fingerprint"))
+        .select(id_col, "fingerprint")
+        .distinct()
+    )
+
+
+def text_profile(docs_df, id_col="doc_id", text_col="text"):
+    """One-stop analysis table: language, quality features, token counts,
+    fingerprint. Single narrow projection."""
+    quality = quality_cols(F.col(text_col))
+    return docs_df.select(
+        F.col(id_col),
+        lang_id_col(F.col(text_col)).alias("lang_guess"),
+        *[expr.alias(name) for name, expr in quality.items()],
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+        whitespace_token_count_col(F.col(text_col)).alias("n_ws_tokens"),
+        fingerprint_col(F.col(text_col)).alias("fingerprint"),
+    )
