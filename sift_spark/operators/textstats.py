@@ -54,9 +54,12 @@ def quality_cols(col):
     n_chars = F.length(col)
     words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
-    mean_word_len = F.when(n_words > 0,
-                           (n_chars - n_words + 1).cast("double") / n_words
-                           ).otherwise(F.lit(0.0))
+    total_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, total_word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
     n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()-]", ""))
     n_digit = F.length(F.regexp_replace(col, r"[^0-9]", ""))
     n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
