@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...,
+   "mb_per_sec_html": ...}
+
+Also usable for the two-parallelism scaling evidence:
+  python bench.py --cores 8   vs   python bench.py --cores 32
+(see scripts/scaling.py, which records BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _build_queries(spark, sf_dir):
+    from sift_spark.core.counters import WORDS
+    from sift_spark.core.pipeline import SiftParams
+    from sift_spark.operators.chunking import chunk_pages, filter_extraneous
+    from sift_spark.operators.dedup import minhash_near_duplicates
+    from sift_spark.operators.extract import extract_pages
+    from sift_spark.operators.search import bm25_scores, rank_by_score
+    from sift_spark.operators.selection_op import select_exact
+    from sift_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+    from sift_spark.operators.textstats import text_profile
+    from sift_spark.sources.fixtures import pages_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pages = pages_from_documents(spark, sf_dir)
+
+    extract_params = SiftParams(counting_method=WORDS, max_units=200)
+    search_params = SiftParams(counting_method=WORDS, max_units=80,
+                               search_query="window merge sort")
+
+    md = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("text_md"),
+    )
+
+    def q_extract():
+        out = extract_pages(pages, extract_params)
+        agg = out.agg(
+            F.count("*"), F.sum(F.when(F.col("error").isNotNull(), 1)
+                                .otherwise(0))
+        ).first()
+        return agg[0]
+
+    def q_extract_search():
+        out = extract_pages(pages, search_params)
+        return out.filter(F.col("error").isNull()).count()
+
+    def q_chunk_classify():
+        chunks = chunk_pages(md, extract_params)
+        return filter_extraneous(chunks).count()
+
+    def q_bm25_rank():
+        chunks = chunk_pages(md, search_params)
+        ranked = rank_by_score(
+            bm25_scores(chunks, search_params.search_query))
+        return ranked.filter(F.col("sel_rank") <= 3).count()
+
+    def q_search_select():
+        chunks = chunk_pages(md, search_params)
+        scored = chunks.join(
+            bm25_scores(chunks, search_params.search_query),
+            ["url", "chunk_idx"],
+        )
+        return select_exact(scored, search_params, scored=True).count()
+
+    def q_dedup_minhash():
+        return minhash_near_duplicates(
+            docs, k=8, n_hashes=32, n_bands=8, min_jaccard=0.5
+        ).count()
+
+    def q_ann():
+        query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        brute = cosine_topk(emb, query, k=10).count()
+        approx = lsh_cosine_topk(emb, query, k=10).count()
+        return brute + approx
+
+    def q_text_profile():
+        return text_profile(docs).agg(F.sum("n_tokens")).first()[0]
+
+    return {
+        "extract": q_extract,
+        "extract_search": q_extract_search,
+        "chunk_classify": q_chunk_classify,
+        "bm25_rank": q_bm25_rank,
+        "search_select": q_search_select,
+        "dedup_minhash": q_dedup_minhash,
+        "ann_topk": q_ann,
+        "text_profile": q_text_profile,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir",
+                        default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                               "/root/testdata/sf0.1"))
+    parser.add_argument("--cores", type=int,
+                        default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    parser.add_argument("--queries", default="",
+                        help="comma-separated subset to run")
+    args = parser.parse_args(argv)
+
+    from sift_spark.session import get_spark
+
+    spark = get_spark(app_name="sift-spark-bench", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    queries = _build_queries(spark, args.sf_dir)
+    if args.queries:
+        wanted = args.queries.split(",")
+        queries = {k: v for k, v in queries.items() if k in wanted}
+
+    # corpus stats for throughput metrics
+    from sift_spark.sources.fixtures import pages_from_documents
+
+    stats = pages_from_documents(spark, args.sf_dir).agg(
+        F.count("*"), F.sum(F.length("html"))
+    ).first()
+    n_docs, html_bytes = stats[0], stats[1]
+
+    timings = {}
+    for name, fn in queries.items():
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    extract_sec = timings.get("extract")
+    result = {
+        "metric": "sift-spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": args.cores,
+        "n_docs": n_docs,
+        "html_mb": round((html_bytes or 0) / 1e6, 3),
+    }
+    if extract_sec:
+        result["docs_per_sec"] = round(n_docs / extract_sec, 1)
+        result["mb_per_sec_html"] = round(
+            (html_bytes or 0) / 1e6 / extract_sec, 2
+        )
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

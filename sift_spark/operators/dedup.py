@@ -143,22 +143,37 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
     if shingle_col != "shingle":
         shingles_df = shingles_df.withColumnRenamed(shingle_col, "shingle")
     sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    a = shingles_df.alias("a")
-    b = shingles_df.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["id_a", "id_b"])
+        # CRITICAL at scale: anchor the join on the candidate pairs, never
+        # build the full shingle self-join (a shingle shared by d docs
+        # costs O(d^2) pairs there vs O(|candidates| * shingles/doc) here)
+        sh_a = shingles_df.select(
+            F.col(id_col).alias("id_a"), F.col("shingle")
+        )
+        sh_b = shingles_df.select(
+            F.col(id_col).alias("id_b"), F.col("shingle")
+        )
+        common = (
+            candidates.join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        a = shingles_df.alias("a")
+        b = shingles_df.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     result = (
         common.join(
             F.broadcast(sizes.withColumnRenamed(id_col, "id_a")
