@@ -135,6 +135,16 @@ def main(argv=None):
     ).first()
     n_docs, html_bytes = stats[0], stats[1]
 
+    # warmup: spin up the Python worker pool + JIT before timing
+    from sift_spark.operators.extract import extract_pages
+    from sift_spark.core.pipeline import SiftParams as _SP
+    from sift_spark.core.counters import WORDS as _W
+
+    extract_pages(
+        pages_from_documents(spark, args.sf_dir).limit(64),
+        _SP(counting_method=_W, max_units=50),
+    ).count()
+
     timings = {}
     for name, fn in queries.items():
         start = time.perf_counter()

@@ -40,7 +40,7 @@ _WS_RE = re.compile(r"[ \t\r\n\f]+")
 class Node:
     """A DOM node. tag is None for text nodes."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "text")
+    __slots__ = ("tag", "attrs", "children", "parent", "text", "_text_cache")
 
     def __init__(self, tag, attrs=None, text=""):
         self.tag = tag  # lowercase tag name, or None for text
@@ -48,10 +48,12 @@ class Node:
         self.children = []
         self.parent = None
         self.text = text  # raw text for text nodes
+        self._text_cache = None
 
     def append(self, child):
         child.parent = self
         self.children.append(child)
+        self._text_cache = None
 
     # ---- convenience accessors -------------------------------------------------
     @property
@@ -75,10 +77,17 @@ class Node:
                 yield node
 
     def inner_text(self):
-        """Concatenated text with HTML whitespace collapsed (outside <pre>)."""
-        parts = []
-        self._collect_text(parts, in_pre=False)
-        return _WS_RE.sub(" ", "".join(parts)).strip() if parts else ""
+        """Concatenated text with HTML whitespace collapsed (outside
+        <pre>). Cached: readability scoring queries overlapping ancestor
+        subtrees repeatedly; the cache is invalidated on append/detach
+        (the only mutations)."""
+        if self._text_cache is None:
+            parts = []
+            self._collect_text(parts, in_pre=False)
+            self._text_cache = (
+                _WS_RE.sub(" ", "".join(parts)).strip() if parts else ""
+            )
+        return self._text_cache
 
     def _collect_text(self, parts, in_pre):
         if self.is_text:
@@ -107,6 +116,10 @@ class Node:
 
     def detach(self):
         if self.parent is not None:
+            ancestor = self.parent
+            while ancestor is not None:  # invalidate ancestor text caches
+                ancestor._text_cache = None
+                ancestor = ancestor.parent
             self.parent.children.remove(self)
             self.parent = None
 

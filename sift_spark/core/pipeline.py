@@ -20,7 +20,12 @@ from .counters import TOKENS, Counter
 from .ranking import lexical_search
 from .selection import BEGINNING, ChunkSelector
 
+import re
+
 DEFAULT_MAX_UNITS = 2500  # cmd/sift/main.go:52-55 (no-search default)
+
+# Go's isSpace set is exactly {space, tab, newline, CR} (sift.go:323)
+_SIMPLE_TOKEN_RE = re.compile(r"[ \t\n\r]*[^ \t\n\r]+")
 DEFAULT_CONTEXT_BEFORE = 1  # cmd/sift/main.go:119
 DEFAULT_CONTEXT_AFTER = 2  # cmd/sift/main.go:120
 
@@ -86,22 +91,13 @@ def apply_simple_size_limit(content, max_units, counting_method):
         return content
     counter = Counter(counting_method)
 
-    # split into alternating word / whitespace tokens, preserving formatting
-    tokens = []
-    current = []
-    in_word = False
-    for ch in content:
-        is_space = ch in " \t\n\r"
-        if is_space and in_word:
-            if current:
-                tokens.append("".join(current))
-                current = []
-            in_word = False
-        if not is_space and not in_word:
-            in_word = True
-        current.append(ch)
-    if current:
-        tokens.append("".join(current))
+    # split into word tokens carrying their leading whitespace (plus a
+    # possible trailing whitespace-only token) -- regex form of the Go
+    # rune loop (sift.go:317-345), byte-identical output
+    tokens = _SIMPLE_TOKEN_RE.findall(content)
+    consumed = sum(len(t) for t in tokens)
+    if consumed < len(content):
+        tokens.append(content[consumed:])
 
     result = []
     current_units = 0

@@ -20,8 +20,21 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..core.counters import Counter
-from ..core.pipeline import SiftParams, extract_document, prepare_chunks, transform_text
+from ..core.chunker import split_text
+from ..core.counters import CHARS, Counter
+from ..core.pipeline import SiftParams, extract_document, transform_text
+from ..core.selection import BASE_SIZES, LARGE_TEXT_MULTIPLIER, TEXT_THRESHOLDS
+
+
+def chunk_size_for(text, params):
+    """Unit-aware chunk size (chunk_selection.go:117-143)."""
+    base = BASE_SIZES.get(params.counting_method, BASE_SIZES[CHARS])
+    threshold = TEXT_THRESHOLDS.get(
+        params.counting_method, TEXT_THRESHOLDS[CHARS]
+    )
+    if len(text.encode("utf-8", "surrogatepass")) > threshold:
+        return int(base * LARGE_TEXT_MULTIPLIER)
+    return base
 
 # admission caps (fetch.go:20-21): files 50 MB, HTTP 100 MB
 MAX_HTML_BYTES = 100 * 1024 * 1024
@@ -57,8 +70,10 @@ def _run_one(html_bytes, params, counter):
     if markdown.strip() == "":
         return None, "no content extracted", 0, 0
     result = transform_text(markdown, params)
-    _, chunks = prepare_chunks(result, params) if result else (None, [])
-    return result, None, len(chunks), counter.count(result)
+    # n_chunks is a lineage metric: raw split count (no classifier pass --
+    # stemming every token again would double the per-doc cost)
+    n_chunks = len(split_text(result, chunk_size_for(result, params))) if result else 0
+    return result, None, n_chunks, counter.count(result)
 
 
 def make_extract_udf(params: SiftParams):
