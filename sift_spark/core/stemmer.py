@@ -12,6 +12,8 @@ Pure function, no state: safe to call from Arrow UDF batches.
 
 from __future__ import annotations
 
+import functools
+
 VOWELS = frozenset("aeiouy")
 DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
 LI_ENDINGS = frozenset("cdeghkmnrt")
@@ -93,9 +95,11 @@ def _contains_vowel(word, start, end):
     return any(word[i] in VOWELS for i in range(start, end))
 
 
+@functools.lru_cache(maxsize=131072)
 def stem(word):
     """Stem one token. Lowercases first (kljensen/snowball's
-    stemStopwOrds=true path lowercases input)."""
+    lowercase-normalized path). Memoized: corpus vocabularies repeat
+    tokens heavily and the function is pure."""
     word = word.lower()
     if len(word) <= 2:
         return word

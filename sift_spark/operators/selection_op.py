@@ -143,50 +143,114 @@ _SELECT_SCHEMA = T.StructType(
 )
 
 
+def _select_one_group(url, chunks, scores, flags, params, has_score):
+    """Byte-exact selection for one document's chunk list."""
+    if flags is not None and not params.include_all:
+        if has_score:
+            scores = [s for s, drop in zip(scores, flags) if not drop]
+        chunks = [c for c, drop in zip(chunks, flags) if not drop]
+    if not chunks:
+        return url, "", 0
+
+    selector = ChunkSelector(
+        params.counting_method, params.max_units, params.strategy
+    )
+    if has_score:
+        triples = sorted(
+            [(c, s, i) for i, (c, s) in enumerate(zip(chunks, scores))],
+            key=lambda t: (-t[1], t[2]),
+        )
+        ordered = selector.prepare_for_search(triples)
+        before, after = params.context_before, params.context_after
+    else:
+        ordered = selector.prepare_for_strategy(chunks)
+        before, after = 0, 0
+    text = selector.select_with_context_config(
+        ordered, chunks, before, after,
+        params.context_units, params.use_smart_context,
+    )
+    return url, text, len(chunks)
+
+
 def select_exact(chunks_df, params: SiftParams, scored=False):
-    """Grouped-map selection with byte-exact reference semantics.
+    """Grouped selection with byte-exact reference semantics.
 
     chunks_df: url, chunk_idx, chunk_text, [score], [is_extraneous]
     Applies the classifier filter (unless include_all), strategy or score
     ordering, fixed/smart context, partials, separators, overlap removal
-    -- by calling the same core kernel the tests verify."""
+    -- by calling the same core kernel the tests verify.
+
+    Implementation: repartition by url + sortWithinPartitions, then
+    mapInPandas streaming groups WITHIN Arrow batches (urls spanning a
+    batch boundary are buffered). One pandas frame per ~10k rows instead
+    of one per url -- per-group applyInPandas overhead (~8 ms/group)
+    would dominate at web scale where groups are tiny."""
     has_filter = "is_extraneous" in chunks_df.columns
     has_score = scored and "score" in chunks_df.columns
 
-    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("chunk_idx")
-        url = pdf["url"].iloc[0]
-        chunks = pdf["chunk_text"].tolist()
-        if has_filter and not params.include_all:
-            keep = ~pdf["is_extraneous"].to_numpy()
-            chunks = [c for c, k in zip(chunks, keep) if k]
-        if not chunks:
-            return pd.DataFrame({"url": [url], "text": [""], "n_selected": [0]})
+    cols = ["url", "chunk_idx", "chunk_text"]
+    if has_score:
+        cols.append("score")
+    if has_filter:
+        cols.append("is_extraneous")
 
-        selector = ChunkSelector(
-            params.counting_method, params.max_units, params.strategy
-        )
-        if has_score:
-            scores = (
-                pdf.loc[~pdf["is_extraneous"], "score"].tolist()
-                if has_filter and not params.include_all
-                else pdf["score"].tolist()
-            )
-            triples = sorted(
-                [(c, s, i) for i, (c, s) in enumerate(zip(chunks, scores))],
-                key=lambda t: (-t[1], t[2]),
-            )
-            ordered = selector.prepare_for_search(triples)
-            before, after = params.context_before, params.context_after
-        else:
-            ordered = selector.prepare_for_strategy(chunks)
-            before, after = 0, 0
-        text = selector.select_with_context_config(
-            ordered, chunks, before, after,
-            params.context_units, params.use_smart_context,
-        )
-        return pd.DataFrame(
-            {"url": [url], "text": [text], "n_selected": [len(chunks)]}
-        )
+    arranged = (
+        chunks_df.select(*cols)
+        .repartition("url")
+        .sortWithinPartitions("url", "chunk_idx")
+    )
 
-    return chunks_df.groupBy("url").applyInPandas(run_group, _SELECT_SCHEMA)
+    def process(iterator):
+        pending_url = None
+        pending_chunks = []
+        pending_scores = []
+        pending_flags = []
+
+        def emit(url):
+            return _select_one_group(
+                url, pending_chunks,
+                pending_scores if has_score else None,
+                pending_flags if has_filter else None,
+                params, has_score,
+            )
+
+        out_urls, out_texts, out_counts = [], [], []
+        for pdf in iterator:
+            urls = pdf["url"].to_numpy()
+            texts = pdf["chunk_text"].to_numpy()
+            scores = pdf["score"].to_numpy() if has_score else None
+            flags = pdf["is_extraneous"].to_numpy() if has_filter else None
+            for i in range(len(pdf)):
+                url = urls[i]
+                if url != pending_url:
+                    if pending_url is not None:
+                        u, t, n = emit(pending_url)
+                        out_urls.append(u)
+                        out_texts.append(t)
+                        out_counts.append(n)
+                    pending_url = url
+                    pending_chunks = []
+                    pending_scores = []
+                    pending_flags = []
+                pending_chunks.append(texts[i])
+                if has_score:
+                    pending_scores.append(float(scores[i]))
+                if has_filter:
+                    pending_flags.append(bool(flags[i]))
+            if len(out_urls) >= 2000:
+                yield pd.DataFrame(
+                    {"url": out_urls, "text": out_texts,
+                     "n_selected": out_counts}
+                )
+                out_urls, out_texts, out_counts = [], [], []
+        if pending_url is not None:
+            u, t, n = emit(pending_url)
+            out_urls.append(u)
+            out_texts.append(t)
+            out_counts.append(n)
+        if out_urls:
+            yield pd.DataFrame(
+                {"url": out_urls, "text": out_texts, "n_selected": out_counts}
+            )
+
+    return arranged.mapInPandas(process, _SELECT_SCHEMA)
