@@ -25,16 +25,10 @@ from sift_spark.core.counters import WORDS
 from sift_spark.core.pipeline import SiftParams
 from sift_spark.core.ranking import tfidf_tokenize
 
+from sift_spark.operators.textstats import LANG_MARKERS as _LANG_MARKERS
+from sift_spark.operators.textstats import TOKEN_PATTERN
+
 TFIDF_QUERY = "spark join stream"
-
-_LANG_MARKERS = {
-    "en": ["the", "and", "of", "to", "is", "that", "with"],
-    "de": ["der", "die", "und", "das", "ist", "nicht", "mit"],
-    "es": ["el", "la", "los", "que", "de", "es", "con"],
-    "fr": ["le", "la", "les", "et", "est", "que", "dans"],
-}
-
-TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def _docs(spark, sf_dir):

@@ -1,0 +1,138 @@
+"""HTML parser + CSS matcher unit coverage beyond the fixture suite."""
+
+import pytest
+
+from sift_spark.core import css
+from sift_spark.core.htmlparser import parse, unescape
+
+
+# ---- parser -----------------------------------------------------------------------
+
+
+def test_basic_tree():
+    root = parse("<div><p>hello <b>world</b></p></div>")
+    div = root.children[0]
+    assert div.tag == "div"
+    p = div.children[0]
+    assert p.tag == "p"
+    assert p.inner_text() == "hello world"
+
+
+def test_void_and_self_closing():
+    root = parse("<p>a<br>b<img src='x'/>c<hr></p>")
+    p = root.children[0]
+    # <hr> implicitly closes <p> (HTML5), so it lands as a sibling
+    assert [c.tag for c in p.children if c.tag] == ["br", "img"]
+    assert [c.tag for c in root.children] == ["p", "hr"]
+    assert p.inner_text() == "abc"
+
+
+def test_implicit_p_close():
+    root = parse("<p>one<p>two<div>three</div>")
+    assert [c.tag for c in root.children] == ["p", "p", "div"]
+
+
+def test_implicit_li_close():
+    root = parse("<ul><li>a<li>b<li>c</ul>")
+    ul = root.children[0]
+    assert [c.tag for c in ul.children if c.tag] == ["li", "li", "li"]
+
+
+def test_stray_end_tag_ignored():
+    root = parse("<div>a</span>b</div>")
+    assert root.children[0].inner_text() == "ab"
+
+
+def test_attributes():
+    root = parse('<a href="/x" class=btn disabled data-k=\'v\'>t</a>')
+    a = root.children[0]
+    assert a.attrs == {"href": "/x", "class": "btn", "disabled": "",
+                       "data-k": "v"}
+
+
+def test_script_style_raw():
+    root = parse("<div><script>if (a < b) { x(); }</script><p>ok</p></div>")
+    div = root.children[0]
+    assert [c.tag for c in div.children if c.tag] == ["script", "p"]
+    assert div.inner_text() == "ok"
+
+
+def test_comment_and_doctype_skipped():
+    root = parse("<!DOCTYPE html><!-- note --><p>x</p>")
+    assert [c.tag for c in root.children if c.tag] == ["p"]
+
+
+def test_entities():
+    # &nbsp; -> U+00A0 (x/net/html behavior the reference sees)
+    assert unescape("a &amp; b &lt;c&gt; &#65; &#x42; &nbsp;") == (
+        "a & b <c> A B  "
+    )
+    root = parse("<p>fish &amp; chips</p>")
+    assert root.children[0].inner_text() == "fish & chips"
+
+
+def test_attribute_with_gt_in_quotes():
+    root = parse('<div title="a > b">x</div>')
+    assert root.children[0].attrs["title"] == "a > b"
+
+
+def test_unclosed_at_eof():
+    root = parse("<div><p>dangling")
+    assert root.children[0].children[0].inner_text() == "dangling"
+
+
+# ---- css --------------------------------------------------------------------------
+
+DOC = parse(
+    '<html><body>'
+    '<div id="main" class="wrap outer">'
+    '  <p class="lead intro">first</p>'
+    '  <section><p>second</p><span data-x="1">s</span></section>'
+    '</div>'
+    '<p>third</p>'
+    "</body></html>"
+)
+
+
+def _texts(selector):
+    return [n.inner_text() for n in css.select(DOC, selector)]
+
+
+def test_tag_selector():
+    assert _texts("p") == ["first", "second", "third"]
+
+
+def test_class_selector():
+    assert _texts(".lead") == ["first"]
+    assert _texts("p.intro.lead") == ["first"]
+
+
+def test_id_selector():
+    assert len(css.select(DOC, "#main")) == 1
+
+
+def test_descendant_and_child():
+    assert _texts("div p") == ["first", "second"]
+    assert _texts("div > p") == ["first"]
+    assert _texts("section > p") == ["second"]
+
+
+def test_attribute_selector():
+    assert _texts("[data-x]") == ["s"]
+    assert _texts('[data-x="1"]') == ["s"]
+    assert _texts('[data-x="2"]') == []
+
+
+def test_selector_list():
+    assert _texts(".lead, section p") == ["first", "second"]
+
+
+def test_universal():
+    assert "first" in _texts("*")
+
+
+@pytest.mark.parametrize("bad", [">>invalid<<", "", "  ", "div >", "> p",
+                                 "..x", "#"])
+def test_invalid_selectors(bad):
+    with pytest.raises(css.SelectorError):
+        css.compile_selector(bad)
