@@ -365,6 +365,15 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_combine_sources(spark, sf_dir):
+    from sift_spark.operators.selection_op import combine_sources
+
+    docs = _docs(spark, sf_dir)
+    return combine_sources(
+        docs, group_col="source", order_col="doc_id", text_col="text"
+    )
+
+
 def _q_tpch_pricing_summary(spark, sf_dir):
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -434,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         # multimodal plumbing
         "media_features": _q_media_features,
+        # multi-source combination (sift.go:107-130)
+        "combine_sources": _q_combine_sources,
         # general engine sanity (joins/aggs)
         "tpch_pricing_summary": _q_tpch_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
@@ -639,6 +650,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
             "'g'))) AS fingerprint FROM documents"
         ),
+        "combine_sources": """
+            SELECT source, string_agg(text, chr(10) || chr(10)
+                       ORDER BY doc_id) AS text
+            FROM documents
+            WHERE text IS NOT NULL AND trim(text) <> ''
+            GROUP BY source
+        """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,

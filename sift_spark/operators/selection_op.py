@@ -132,6 +132,31 @@ def format_selected(selected_df, is_search_mode=False):
     )
 
 
+def combine_sources(df, group_col="job_id", order_col="source_idx",
+                    text_col="text"):
+    """Multi-source combination (sift.go:107-130): per group, join the
+    non-empty texts in source order with a blank line; failed/empty
+    sources are skipped (warn-and-continue promoted to data parallelism).
+
+    Native: collect_list of (order, text) structs -> array_sort ->
+    transform -> concat_ws. One shuffle on the group key."""
+    non_empty = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    return non_empty.groupBy(group_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                            F.col(text_col).alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("text")
+    )
+
+
 # ---- exact tier --------------------------------------------------------------------
 
 _SELECT_SCHEMA = T.StructType(
