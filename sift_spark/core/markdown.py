@@ -234,7 +234,10 @@ def _raw_text(node):
 
 
 def _collapse(text):
-    return _WS_RE.sub(" ", text)
+    # fast path: most text nodes need no collapsing work at all
+    if "\n" in text or "\t" in text or "  " in text or "\r" in text or "\f" in text:
+        return _WS_RE.sub(" ", text)
+    return text
 
 
 def _finish_inline(text):

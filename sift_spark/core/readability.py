@@ -106,15 +106,17 @@ def _is_unlikely(node):
 
 
 def extract_article(root):
-    """Return the extracted article subtree (a cloned Node), or None.
+    """Return the extracted article subtree (a Node), or None.
 
-    The clone means callers can serialize without mutating the parsed tree.
+    MUTATES the parsed tree (noise stripping); callers parse fresh per
+    document, so no defensive whole-tree clone is paid. The returned
+    subtree contains clones of the winning candidate + siblings.
     """
     body = _find_body(root)
     if body is None:
         return None
 
-    work = body.clone()
+    work = body
     _strip_noise(work)
 
     scores = {}  # id(node) -> float
