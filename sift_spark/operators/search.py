@@ -145,77 +145,82 @@ def explode_field_terms(chunks_df, text_col="chunk_text"):
 
 def bm25_scores(chunks_df, query, text_col="chunk_text",
                 k1=K1, b=B, field_weights=None):
-    """Field-weighted BM25 (BM25F, SURVEY.md Appendix A.3) as aggregations
-    + column math. One field-term explode (UDF), then pure relational:
+    """Field-weighted BM25 (BM25F, SURVEY.md Appendix A.3) as ONE
+    aggregation + window math -- no joins:
 
-      wtf(t,d)   = sum_f w_f * tf         (weighted term frequency)
-      dl(d)      = total terms in d; avgdl over the url's chunks
-      idf(t)     = ln(1 + (N - df + 0.5)/(df + 0.5))
-      score(q,d) = sum_t idf * wtf * (k1+1) / (k1*(1-b+b*dl/avgdl) + wtf)
-    """
+      per chunk:  dl = total terms;  wtf_i = sum_f w_f * tf(term_i)
+                  (query terms pivoted to conditional-sum columns;
+                   query arity is tiny so the pivot is narrow)
+      per url  :  avgdl, N, df_i  via a window over the per-chunk rows
+      score    =  sum_i q_i * idf_i * wtf_i*(k1+1) /
+                  (k1*(1-b+b*dl/avgdl) + wtf_i)
+
+    Plan: UDF field-term explode (narrow) -> one groupBy(url, chunk_idx)
+    with map-side partial agg -> url window (same hash partitioning, no
+    extra shuffle) -> column math. The previous formulation ran the UDF
+    twice and joined 3 times."""
     weights = field_weights or FIELD_WEIGHTS
     query_terms = list(dict.fromkeys(tfidf_tokenize(query)))
     if not query_terms:
         return chunks_df.select("url", "chunk_idx", F.lit(0.0).alias("score"))
 
-    ft = explode_field_terms(chunks_df, text_col)
-
-    weight_map = F.create_map(
-        *[F.lit(x) for pair in weights.items() for x in pair]
-    )
-    # per-doc length (all terms) and per-url avgdl + N
-    doc_lens = ft.groupBy("url", "chunk_idx").agg(F.count("*").alias("dl"))
-    url_stats = doc_lens.groupBy("url").agg(
-        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
-    )
-
-    matched = ft.filter(F.col("term").isin(query_terms))
-    wtf = matched.groupBy("url", "chunk_idx", "term").agg(
-        F.sum(F.coalesce(weight_map[F.col("field")], F.lit(1.0))).alias("wtf")
-    )
-    df = matched.select("url", "chunk_idx", "term").distinct().groupBy(
-        "url", "term"
-    ).agg(F.count("*").alias("df"))
-
     q_occurrences = {}
     for term in tfidf_tokenize(query):
         q_occurrences[term] = q_occurrences.get(term, 0) + 1
-    q_weights = F.create_map(
-        *[F.lit(x) for pair in q_occurrences.items() for x in pair]
-    )
 
-    scored = (
-        wtf.join(df, ["url", "term"])
-        .join(doc_lens, ["url", "chunk_idx"])
-        .join(F.broadcast(url_stats), "url")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
+    ft = explode_field_terms(chunks_df, text_col)
+    weight_map = F.create_map(
+        *[F.lit(x) for pair in weights.items() for x in pair]
+    )
+    row_weight = F.coalesce(weight_map[F.col("field")], F.lit(1.0))
+
+    aggs = [F.count("*").alias("dl")]
+    for i, term in enumerate(query_terms):
+        aggs.append(
+            F.sum(
+                F.when(F.col("term") == term, row_weight).otherwise(F.lit(0.0))
+            ).alias(f"wtf_{i}")
+        )
+    per_chunk_raw = ft.groupBy("url", "chunk_idx").agg(*aggs)
+
+    # restore chunks that produced no term rows at all (dl = 0): corpus
+    # statistics (avgdl, N) count EVERY chunk (tfidf.go:60-65 semantics)
+    per_chunk = chunks_df.select("url", "chunk_idx").join(
+        per_chunk_raw, ["url", "chunk_idx"], "left"
+    ).fillna(0)
+
+    url_window = Window.partitionBy("url")
+    per_chunk = per_chunk.withColumn(
+        "avgdl", F.avg("dl").over(url_window)
+    ).withColumn("n_docs", F.count("*").over(url_window))
+    for i in range(len(query_terms)):
+        per_chunk = per_chunk.withColumn(
+            f"df_{i}",
+            F.sum(F.when(F.col(f"wtf_{i}") > 0, 1).otherwise(0)).over(
+                url_window
             ),
         )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * F.col("wtf")
-            * F.lit(k1 + 1.0)
+
+    score = F.lit(0.0)
+    for i, term in enumerate(query_terms):
+        wtf = F.col(f"wtf_{i}")
+        df = F.col(f"df_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        term_score = (
+            idf * wtf * F.lit(k1 + 1.0)
             / (
                 F.lit(k1)
                 * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                + F.col("wtf")
+                + wtf
             )
-            * q_weights[F.col("term")],
+            * F.lit(float(q_occurrences[term]))
         )
-        .groupBy("url", "chunk_idx")
-        .agg(F.sum("term_score").alias("score"))
-    )
-    return (
-        chunks_df.select("url", "chunk_idx")
-        .join(scored, ["url", "chunk_idx"], "left")
-        .fillna({"score": 0.0})
-    )
+        score = score + F.when(wtf > 0, term_score).otherwise(F.lit(0.0))
+
+    return per_chunk.select("url", "chunk_idx", score.alias("score"))
 
 
 def rank_by_score(scored_df):

@@ -29,6 +29,7 @@ MD_CHUNKS = [
     "Mix the **sifted flour** with sugar and spice for the batter.",
     "Bake the cake until golden. The texture should be tender.",
     "Related posts and privacy policy links live in the footer.",
+    "a b",  # no tokens >= 3 chars: contributes dl=0 to corpus stats
 ]
 
 
