@@ -56,14 +56,20 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
     """(id, shingle) via native sequence+substring explode -- no UDF.
     sample_mod=s keeps only shingles with pmod(xxhash64(shingle), s)=0
     (hash-deterministic sampling for the 100 TB tier)."""
-    normalized = normalized_text_col(F.col(text_col))
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))
+    # materialize the normalized text ONCE per row: referencing the
+    # expression inside the transform lambda would re-evaluate the
+    # regexp_replace per array element (~doc_len regex calls per doc)
+    normalized = docs_df.select(
+        F.col(id_col), normalized_text_col(F.col(text_col)).alias("_t")
     )
-    shingles = docs_df.select(
+    t = F.col("_t")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))
+    )
+    shingles = normalized.select(
         F.col(id_col),
         F.explode(
-            F.transform(positions, lambda i: normalized.substr(i, F.lit(k)))
+            F.transform(positions, lambda i: t.substr(i, F.lit(k)))
         ).alias("shingle"),
     ).distinct()
     if sample_mod:
@@ -195,10 +201,19 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
 
 def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
                             min_jaccard=0.7, id_col="doc_id",
-                            text_col="text", sample_mod=None):
+                            text_col="text", sample_mod=None,
+                            persist_shingles=False):
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
-    bucket-join -> exact-jaccard verify."""
+    bucket-join -> exact-jaccard verify.
+
+    The shingle table feeds BOTH the signature branch and the verify
+    branch. persist_shingles trades block-store IO for recompute; on this
+    corpus recompute wins (the explode is cheap and fully parallel), on
+    wide clusters with fast local disks persisting can win -- measured
+    knob, default off."""
     shingles = char_shingles(docs_df, k, id_col, text_col, sample_mod)
+    if persist_shingles:
+        shingles = shingles.persist()
     sigs = minhash_signatures(shingles, n_hashes, id_col)
     candidates = lsh_candidate_pairs(sigs, n_bands, id_col)
     return jaccard_pairs(shingles, id_col, min_jaccard, candidates)

@@ -61,7 +61,8 @@ def _run_one(html_bytes, params, counter):
     """Per-document kernel shared by the batch UDFs."""
     if html_bytes is None:
         return None, "no content", 0, 0
-    if len(html_bytes) > MAX_HTML_BYTES:
+    cap = params.extra.get("max_html_bytes", MAX_HTML_BYTES)
+    if len(html_bytes) > cap:
         return None, f"content too large: {len(html_bytes)} bytes", 0, 0
     html = _decode(html_bytes)
     markdown, error = extract_document(html, params)
