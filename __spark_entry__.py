@@ -323,6 +323,16 @@ def _q_embedding_neardup(spark, sf_dir):
     return embedding_near_duplicates(_emb(spark, sf_dir), min_cosine=0.9)
 
 
+def _q_quality_profile(spark, sf_dir):
+    from sift_spark.operators.textstats import quality_cols
+
+    cols = quality_cols(F.col("text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in cols.items()],
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from sift_spark.operators.textstats import lang_id_col
 
@@ -437,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
         # text analysis
+        "quality_profile": _q_quality_profile,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
@@ -640,6 +651,51 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id ASC
             LIMIT 10
+        """,
+        "quality_profile": """
+            WITH feat AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS words,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z'']+'), w -> w <> '') AS lwords,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '',
+                              'g')) AS n_punct,
+                       length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS n_digit,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           AS n_upper
+                FROM documents
+            ),
+            feat2 AS (
+                SELECT doc_id, n_chars,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           list_sum(list_transform(words,
+                               w -> length(w)))::DOUBLE / len(words)
+                       ELSE 0.0 END AS mean_word_len_raw,
+                       n_punct, n_digit, n_upper,
+                       greatest(n_chars, 1)::DOUBLE AS safe_chars,
+                       CASE WHEN len(lwords) > 0 THEN
+                           len(list_filter(lwords, w -> w IN
+                               ('the','and','of','to','is','that','with')
+                           ))::DOUBLE / len(lwords)
+                       ELSE 0.0 END AS stop_ratio_raw
+                FROM feat
+            )
+            SELECT doc_id, n_chars, n_words,
+                   round(mean_word_len_raw, 6) AS mean_word_len,
+                   round(n_punct / safe_chars, 6) AS punct_ratio,
+                   round(n_digit / safe_chars, 6) AS digit_ratio,
+                   round(n_upper / safe_chars, 6) AS upper_ratio,
+                   round(stop_ratio_raw, 6) AS stopword_ratio,
+                   round((least(n_words::DOUBLE / 100.0, 1.0)
+                        + (1.0 - least(n_punct / safe_chars * 10.0, 1.0))
+                        + (1.0 - least(n_digit / safe_chars * 5.0, 1.0))
+                        + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
+                       AS quality_score
+            FROM feat2
         """,
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
         "token_counts": (

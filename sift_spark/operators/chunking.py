@@ -52,6 +52,51 @@ def make_split_udf(params: SiftParams):
     return split_batch
 
 
+_CHUNK_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("chunk_text", T.StringType()),
+            T.StructField("ratio", T.DoubleType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+)
+
+
+def make_split_classify_udf(params: SiftParams):
+    """Fused map-side pass: split cascade + stopword ratio per chunk in
+    ONE Python stage (the positional threshold still needs n_chunks and
+    is pure column math after the explode). Halves the Arrow round-trips
+    of the chunk stage and keeps the expensive stemming before the
+    shuffle."""
+    method = params.counting_method
+    base = BASE_SIZES.get(method, BASE_SIZES[CHARS])
+    threshold = TEXT_THRESHOLDS.get(method, TEXT_THRESHOLDS[CHARS])
+
+    @F.pandas_udf(_CHUNK_STRUCT)
+    def split_classify_batch(text: pd.Series) -> pd.Series:
+        out = []
+        for value in text:
+            if value is None:
+                out.append([])
+                continue
+            size = base
+            if len(value.encode("utf-8", "surrogatepass")) > threshold:
+                size = int(base * LARGE_TEXT_MULTIPLIER)
+            chunks = split_text(value, size)
+            rows = []
+            for chunk in chunks:
+                ratio, n_tokens = stopword_ratio(chunk)
+                rows.append(
+                    {"chunk_text": chunk, "ratio": ratio,
+                     "n_tokens": n_tokens}
+                )
+            out.append(rows)
+        return pd.Series(out)
+
+    return split_classify_batch
+
+
 _RATIO_SCHEMA = T.StructType(
     [
         T.StructField("ratio", T.DoubleType()),
@@ -137,11 +182,16 @@ def chunk_pages(md_df, params: SiftParams | None = None, text_col="text_md"):
     url (the only shuffle -- and shuffle-free if the input is already
     partitioned by url, see plans/partitioning.py)."""
     params = params or SiftParams()
-    split_udf = make_split_udf(params)
+    split_udf = make_split_classify_udf(params)
 
     exploded = md_df.select(
         "url",
-        F.posexplode(split_udf(F.col(text_col))).alias("chunk_idx", "chunk_text"),
+        F.posexplode(split_udf(F.col(text_col))).alias("chunk_idx", "c"),
+    ).select(
+        "url", "chunk_idx",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.ratio").alias("stopword_ratio"),
+        F.col("c.n_tokens").alias("_n_tokens"),
     )
 
     url_window = Window.partitionBy("url")
@@ -150,7 +200,6 @@ def chunk_pages(md_df, params: SiftParams | None = None, text_col="text_md"):
     )
 
     field, is_list = field_type_cols(F.col("chunk_text"))
-    ratio = stopword_ratio_udf(F.col("chunk_text"))
     thr = threshold_col(F.col("chunk_idx"), F.col("n_chunks"))
 
     return (
@@ -159,15 +208,13 @@ def chunk_pages(md_df, params: SiftParams | None = None, text_col="text_md"):
                                               params.counting_method).cast("int"))
         .withColumn("field_type", field)
         .withColumn("is_list", is_list)
-        .withColumn("_sw", ratio)
-        .withColumn("stopword_ratio", F.col("_sw.ratio"))
         .withColumn(
             "is_extraneous",
-            F.when(F.col("_sw.n_tokens") == 0, F.lit(True)).otherwise(
-                F.col("_sw.ratio") > thr
+            F.when(F.col("_n_tokens") == 0, F.lit(True)).otherwise(
+                F.col("stopword_ratio") > thr
             ),
         )
-        .drop("_sw")
+        .drop("_n_tokens")
     )
 
 
