@@ -1,0 +1,86 @@
+"""CLI-parity entry point tests (pure core, no Spark)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from tests.fixtures import SIMPLE_HTML
+
+
+@pytest.fixture()
+def html_file(tmp_path):
+    path = tmp_path / "page.html"
+    path.write_text(SIMPLE_HTML)
+    return str(path)
+
+
+def run_cli(argv, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "sift_spark.cli", *argv],
+        capture_output=True, text=True, input=stdin, cwd="/root/repo",
+    )
+
+
+def test_basic_extraction(html_file):
+    proc = run_cli([html_file, "-q"])
+    assert proc.returncode == 0
+    assert "Main Article Title" in proc.stdout
+    assert "Site Header" not in proc.stdout
+
+
+def test_word_limit(html_file):
+    proc = run_cli([html_file, "-w", "10", "-q"])
+    assert proc.returncode == 0
+    assert len(proc.stdout.split()) <= 10
+
+
+def test_selector(html_file):
+    proc = run_cli([html_file, "-s", "article", "-q"])
+    assert proc.returncode == 0
+    assert "Main Article Title" in proc.stdout
+
+
+def test_selector_error(html_file):
+    proc = run_cli([html_file, "-s", ".missing"])
+    assert proc.returncode == 1
+    assert "no content extracted" in proc.stderr
+
+
+def test_stdin():
+    proc = run_cli(["-q"], stdin=SIMPLE_HTML)
+    assert proc.returncode == 0
+    assert "Main Article Title" in proc.stdout
+
+
+def test_search(html_file):
+    proc = run_cli([html_file, "--search", "important information", "-q"])
+    assert proc.returncode == 0
+    assert "important information" in proc.stdout
+
+
+def test_multi_source_skips_failures(html_file, tmp_path):
+    proc = run_cli([html_file, str(tmp_path / "missing.html")])
+    assert proc.returncode == 0
+    assert "Warning: failed to process source" in proc.stderr
+    assert "Main Article Title" in proc.stdout
+
+
+def test_json_output(html_file):
+    proc = run_cli([html_file, "--json", "-q"])
+    assert proc.returncode == 0
+    payload = json.loads(proc.stdout)
+    assert "Main Article Title" in payload["text"]
+
+
+def test_matches_core_bytes(html_file):
+    from sift_spark.core.counters import WORDS
+    from sift_spark.core.pipeline import SiftParams, run_sift
+
+    proc = run_cli([html_file, "-w", "25", "-q"])
+    expected, error = run_sift(
+        SIMPLE_HTML, SiftParams(counting_method=WORDS, max_units=25)
+    )
+    assert error is None
+    assert proc.stdout == expected
