@@ -1,0 +1,72 @@
+"""Property-based invariants (hypothesis) for the core kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sift_spark.core.chunker import split_text
+from sift_spark.core.classify import threshold
+from sift_spark.core.counters import WORDS
+from sift_spark.core.pipeline import apply_simple_size_limit
+from sift_spark.core.selection import remove_overlap_prefix
+from sift_spark.core.stemmer import stem
+
+text_strategy = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyz ABCDEFG.!?\n\t,-'")
+    ),
+    max_size=400,
+)
+
+
+@given(text_strategy, st.integers(min_value=1, max_value=120))
+@settings(max_examples=200, deadline=None)
+def test_split_text_conserves_words(text, max_size):
+    chunks = split_text(text, max_size)
+    original_words = text.split()
+    result_words = [w for chunk in chunks for w in chunk.split()]
+    assert result_words == original_words  # order + content preserved
+    for chunk in chunks:
+        assert chunk.strip() != ""
+        if len(chunk.encode()) > max_size:
+            assert len(chunk.split()) == 1  # only oversized single words
+
+
+@given(text_strategy, st.integers(min_value=1, max_value=50))
+@settings(max_examples=200, deadline=None)
+def test_simple_size_limit_is_prefix_and_bounded(text, max_units):
+    result = apply_simple_size_limit(text, max_units, WORDS)
+    # result is a prefix of the input modulo trailing-whitespace trim
+    assert text.startswith(result) or text.rstrip(" \t\n\r").startswith(result)
+    assert len(result.split()) <= max_units
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=30),
+                min_size=1, max_size=8),
+       st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=30),
+                min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_overlap_prefix_result_is_word_suffix(current, previous):
+    cur = " ".join(current)
+    prev = " ".join(previous)
+    result = remove_overlap_prefix(cur, prev)
+    cur_words = cur.split()
+    res_words = result.split()
+    assert res_words == cur_words[len(cur_words) - len(res_words):]
+
+
+@given(st.integers(min_value=-5, max_value=50),
+       st.integers(min_value=-5, max_value=50))
+@settings(max_examples=300, deadline=None)
+def test_threshold_bounds(idx, total):
+    value = threshold(idx, total)
+    assert 0.1 - 1e-12 <= value <= 0.5 + 1e-12
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz'", min_size=1,
+               max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_stem_output_sane(word):
+    result = stem(word)
+    assert isinstance(result, str)
+    assert len(result) <= len(word) + 1  # at most one char added ('e')
+    assert result == result.lower()
