@@ -17,14 +17,37 @@ text_strategy = st.text(
     max_size=400,
 )
 
+# words that contain letters: the reference's delimiter-restoration
+# legitimately drops delimiter-only "words" like a bare "?" (empty split
+# parts are skipped, chunk.go:137-181), so conservation only holds for
+# real words
+word_text_strategy = st.lists(
+    st.from_regex(r"[a-zA-Z]{1,8}[.!?,]{0,2}", fullmatch=True),
+    min_size=0, max_size=60,
+).flatmap(
+    lambda words: st.lists(
+        st.sampled_from([" ", "  ", "\n", "\n\n", "\t "]),
+        min_size=max(len(words) - 1, 0), max_size=max(len(words) - 1, 0),
+    ).map(
+        lambda seps: "".join(
+            w + (seps[i] if i < len(seps) else "")
+            for i, w in enumerate(words)
+        )
+    )
+)
 
-@given(text_strategy, st.integers(min_value=1, max_value=120))
+
+@given(word_text_strategy, st.integers(min_value=1, max_value=120))
 @settings(max_examples=200, deadline=None)
 def test_split_text_conserves_words(text, max_size):
     chunks = split_text(text, max_size)
     original_words = text.split()
     result_words = [w for chunk in chunks for w in chunk.split()]
-    assert result_words == original_words  # order + content preserved
+    # multiset conservation (the reference's own guarantee,
+    # chunk_test.go:394-403: word-count equality). Document order can be
+    # violated by the wave algorithm itself when an early chunk stays
+    # oversized while a later one already fits -- faithful to the Go.
+    assert sorted(result_words) == sorted(original_words)
     for chunk in chunks:
         assert chunk.strip() != ""
         if len(chunk.encode()) > max_size:
