@@ -64,17 +64,25 @@ def _run_one(html_bytes, params, counter):
     cap = params.extra.get("max_html_bytes", MAX_HTML_BYTES)
     if len(html_bytes) > cap:
         return None, f"content too large: {len(html_bytes)} bytes", 0, 0
-    html = _decode(html_bytes)
-    markdown, error = extract_document(html, params)
-    if error is not None:
-        return None, error, 0, 0
-    if markdown.strip() == "":
-        return None, "no content extracted", 0, 0
-    result = transform_text(markdown, params)
-    # n_chunks is a lineage metric: raw split count (no classifier pass --
-    # stemming every token again would double the per-doc cost)
-    n_chunks = len(split_text(result, chunk_size_for(result, params))) if result else 0
-    return result, None, n_chunks, counter.count(result)
+    try:
+        html = _decode(html_bytes)
+        markdown, error = extract_document(html, params)
+        if error is not None:
+            return None, error, 0, 0
+        if markdown.strip() == "":
+            return None, "no content extracted", 0, 0
+        result = transform_text(markdown, params)
+        # n_chunks is a lineage metric: raw split count (no classifier
+        # pass -- stemming every token again would double per-doc cost)
+        n_chunks = (
+            len(split_text(result, chunk_size_for(result, params)))
+            if result else 0
+        )
+        return result, None, n_chunks, counter.count(result)
+    except Exception as exc:  # noqa: BLE001 -- one bad doc must not kill
+        # a 100 TB job's task; route to the error column (fuzz-tested,
+        # but real crawls find what fuzzers don't)
+        return None, f"extraction failed: {type(exc).__name__}: {exc}", 0, 0
 
 
 def make_extract_udf(params: SiftParams):
