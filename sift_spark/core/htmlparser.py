@@ -192,18 +192,22 @@ def parse(html):
         if lt > i:
             _append_text(stack[-1], html[i:lt])
 
-        # comment
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end < 0 else end + 3
+        next_char = html[lt + 1] if lt + 1 < n else ""
+        # comment / doctype / CDATA / declarations
+        if next_char == "!":
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                i = n if end < 0 else end + 3
+            else:
+                end = html.find(">", lt)
+                i = n if end < 0 else end + 1
             continue
-        # doctype / CDATA / other declarations
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
+        if next_char == "?":
             end = html.find(">", lt)
             i = n if end < 0 else end + 1
             continue
         # end tag
-        if html.startswith("</", lt):
+        if next_char == "/":
             m = _TAG_RE.match(html, lt + 2)
             end = html.find(">", lt)
             if m is None:
@@ -293,6 +297,8 @@ def _append_text(parent, raw):
 
 
 def _parse_attrs(src):
+    if not src or src.isspace():
+        return {}
     attrs = {}
     for m in _ATTR_RE.finditer(src):
         name = m.group(1).lower()

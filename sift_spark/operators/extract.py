@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from ..core.chunker import split_text
 from ..core.counters import CHARS, Counter
+from ..core.pdftext import extract_pdf_text, is_pdf
 from ..core.pipeline import SiftParams, extract_document, transform_text
 from ..core.selection import BASE_SIZES, LARGE_TEXT_MULTIPLIER, TEXT_THRESHOLDS
 
@@ -65,8 +66,13 @@ def _run_one(html_bytes, params, counter):
     if len(html_bytes) > cap:
         return None, f"content too large: {len(html_bytes)} bytes", 0, 0
     try:
-        html = _decode(html_bytes)
-        markdown, error = extract_document(html, params)
+        if is_pdf(bytes(html_bytes[:5])):
+            # content-type routing: PDF layout parse instead of the DOM
+            # pipeline (core/pdftext.py); downstream transforms shared
+            markdown, error = extract_pdf_text(bytes(html_bytes))
+        else:
+            html = _decode(html_bytes)
+            markdown, error = extract_document(html, params)
         if error is not None:
             return None, error, 0, 0
         if markdown.strip() == "":
