@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 -- pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -363,6 +364,36 @@ def _q_winnowing(spark, sf_dir):
     return winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
 
 
+def _q_pdf_extract(spark, sf_dir):
+    """Mixed-content extraction: documents rendered as deterministic
+    PDFs (core/pdftext writer), extracted back through the content-type
+    routed UDF."""
+    from pyspark.sql import types as T
+
+    from sift_spark.core.pdftext import build_simple_pdf
+    from sift_spark.operators.extract import extract_pages
+
+    @F.pandas_udf(T.BinaryType())
+    def to_pdf(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda value: build_simple_pdf(
+                [s for s in (value or "").split(". ") if s], compress=True
+            )
+        )
+
+    docs = _docs(spark, sf_dir).limit(64)
+    pages = docs.select(
+        F.concat(F.lit("pdf://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        to_pdf(F.col("text")).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return extract_pages(
+        pages, SiftParams(counting_method=WORDS, max_units=0)
+    ).select("url", "text", "error")
+
+
 def _q_media_features(spark, sf_dir):
     from sift_spark.operators.multimodal import (
         build_fake_media_df,
@@ -427,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_readability": _q_extract_readability,
         "extract_selector": _q_extract_selector,
         "sift_full": _q_sift_full,
+        "pdf_extract": _q_pdf_extract,
         "chunk_table": _q_chunk_table,
         "search_select": _q_search_select,
         # relational operators with exact DuckDB oracles
