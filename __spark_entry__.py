@@ -260,6 +260,28 @@ def _q_topk_by_type(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    """Lag-gap sessionization over the events stream table: a >30-minute
+    silence starts a new session. (user_id, n_sessions, n_events)."""
+    from pyspark.sql import Window
+
+    events = _events(spark, sf_dir)
+    window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.select(
+        "user_id",
+        F.when(
+            (F.col("ts").cast("timestamp").cast("long")
+             - F.lag(F.col("ts").cast("timestamp").cast("long"))
+             .over(window)) > 1800,
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    return gapped.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from sift_spark.operators.dedup import exact_duplicates
 
@@ -470,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_middle_rank": _q_strategy_middle_rank,
         "budget_cumsum": _q_budget_cumsum,
         "topk_by_type": _q_topk_by_type,
+        "sessionize": _q_sessionize,
         # dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -630,6 +653,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, event_id, rn FROM ranked WHERE rn <= 5
+        """,
+        "sessionize": """
+            WITH gapped AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800 THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, sum(new_session) + 1 AS n_sessions,
+                   count(*) AS n_events
+            FROM gapped GROUP BY user_id
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
