@@ -346,6 +346,29 @@ def _q_embedding_neardup(spark, sf_dir):
     return embedding_near_duplicates(_emb(spark, sf_dir), min_cosine=0.9)
 
 
+def _q_embedding_neardup_exact(spark, sf_dir):
+    """Brute-force all-pairs cosine near-dup (the exact baseline the LSH
+    variant is verified against); oracle-checked."""
+    from sift_spark.operators.similarity import cosine_col
+
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
 def _q_quality_profile(spark, sf_dir):
     from sift_spark.operators.textstats import quality_cols
 
@@ -501,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_exact": _q_embedding_neardup_exact,
         # text analysis
         "quality_profile": _q_quality_profile,
         "lang_id": _q_lang_id,
@@ -763,6 +787,16 @@ def oracle_sql() -> dict[str, str]:
                         + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
                        AS quality_score
             FROM feat2
+        """,
+        "embedding_neardup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
         """,
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
         "token_counts": (
