@@ -77,6 +77,33 @@ def test_job_resume_idempotent(spark, tmp_path):
     ]
 
 
+def test_crash_between_data_write_and_lineage_commit(spark, tmp_path):
+    """A part whose data was written but whose lineage row was NOT
+    committed (crash window) must be reprocessed, and dynamic partition
+    overwrite must leave exactly one copy."""
+    out = str(tmp_path / "crash_out")
+    pages = build_pages_df(spark, n_big=12, include_fixtures=False)
+    params = SiftParams(counting_method=WORDS, max_units=0)
+
+    # simulate the crash: write data for ALL parts, commit lineage NONE
+    from sift_spark.operators.extract import extract_pages
+
+    partitioned = partitioning.partition_pages(pages, 4)
+    extracted = extract_pages(partitioned, params).drop("part_id").withColumn(
+        "part_id", partitioning.part_id_col(4))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    extracted.write.mode("overwrite").partitionBy("part_id").parquet(
+        lineage.data_path(out))
+    assert lineage.completed_parts(spark, out) is None  # no lineage yet
+
+    # resume: every part reprocessed (lineage empty), exactly once
+    metrics = run_extraction_job(spark, pages, out, params, n_parts=4)
+    assert metrics.count() == 4
+    data = lineage.read_extracted(spark, out)
+    assert data.count() == 12  # no duplicates from the pre-crash write
+    assert data.select("url").distinct().count() == 12
+
+
 def test_job_resumes_missing_parts_only(spark, tmp_path):
     out = str(tmp_path / "job_out2")
     pages = build_pages_df(spark, n_big=16, include_fixtures=False)
