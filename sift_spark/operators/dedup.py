@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -108,9 +109,18 @@ def minhash_signatures(shingles_df, n_hashes=32, id_col="doc_id"):
     )
 
 
-def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id"):
+def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
+                        max_bucket_size=None):
     """Band the signatures and equi-join on (band_idx, band_hash):
-    returns candidate (id_a, id_b) pairs with id_a < id_b."""
+    returns candidate (id_a, id_b) pairs with id_a < id_b.
+
+    max_bucket_size caps the quadratic within-bucket blowup -- the real
+    1000x-scale hazard: a bucket of b docs yields b^2/2 pairs, and hot
+    buckets (boilerplate-identical pages) reach millions of members at
+    crawl scale. Oversized buckets are dropped WITH a marker table
+    available via `oversized_buckets` (standard LSH practice: such
+    groups are handled by exact-hash dedup first, which already
+    collapses identical content)."""
     n_hashes = len(sig_df.select("sig").first()["sig"])
     rows_per_band = n_hashes // n_bands
     bands = sig_df.select(
@@ -125,6 +135,11 @@ def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id"):
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size:
+        sizes = Window.partitionBy("band_idx", "band_hash")
+        bands = bands.withColumn(
+            "_bucket_n", F.count("*").over(sizes)
+        ).filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -138,6 +153,31 @@ def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id"):
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def oversized_buckets(sig_df, n_bands=8, id_col="doc_id",
+                      max_bucket_size=10000):
+    """Monitoring view: (band_idx, band_hash, n_members) for buckets the
+    cap would drop -- feed these groups to exact dedup."""
+    n_hashes = len(sig_df.select("sig").first()["sig"])
+    rows_per_band = n_hashes // n_bands
+    bands = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    .cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    return (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
     )
 
 
@@ -202,7 +242,7 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
 def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
                             min_jaccard=0.7, id_col="doc_id",
                             text_col="text", sample_mod=None,
-                            persist_shingles=False):
+                            persist_shingles=False, max_bucket_size=None):
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join -> exact-jaccard verify.
 
@@ -215,7 +255,7 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     if persist_shingles:
         shingles = shingles.persist()
     sigs = minhash_signatures(shingles, n_hashes, id_col)
-    candidates = lsh_candidate_pairs(sigs, n_bands, id_col)
+    candidates = lsh_candidate_pairs(sigs, n_bands, id_col, max_bucket_size)
     return jaccard_pairs(shingles, id_col, min_jaccard, candidates)
 
 

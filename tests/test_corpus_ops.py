@@ -239,3 +239,30 @@ def test_media_stub_raises_without_fake(spark):
         extract_media_features(
             build_fake_media_df(spark, 2), deterministic_fake=False
         )
+
+
+def test_lsh_bucket_cap_drops_hot_buckets(spark):
+    """The within-bucket quadratic blowup is bounded: identical docs form
+    one hot bucket; a cap below the group size removes those candidates
+    (exact dedup handles identical content instead)."""
+    from sift_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        oversized_buckets,
+    )
+
+    same = "identical boilerplate page content repeated across the crawl"
+    rows = [(i, same) for i in range(20)] + [(100, "a unique document here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(char_shingles(df), 32)
+
+    uncapped = lsh_candidate_pairs(sigs, 8).count()
+    assert uncapped == 20 * 19 // 2  # full quadratic set
+
+    capped = lsh_candidate_pairs(sigs, 8, max_bucket_size=10).count()
+    assert capped == 0  # hot bucket dropped entirely
+
+    hot = oversized_buckets(sigs, 8, max_bucket_size=10)
+    assert hot.count() > 0
+    assert hot.agg({"n_members": "max"}).first()[0] == 20
