@@ -99,6 +99,19 @@ class Node:
         for child in self.children:
             child._collect_text(parts, pre)
 
+    def text_len(self):
+        """Raw (uncollapsed) text length, excluding script/style. Cheap
+        length-only companion to inner_text for density ratios."""
+        total = 0
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.tag is None:
+                total += len(node.text)
+            elif node.tag not in ("script", "style"):
+                stack.extend(node.children)
+        return total
+
     def find_all(self, tag_names):
         """All descendant elements whose tag is in tag_names (set)."""
         out = []

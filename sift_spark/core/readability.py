@@ -87,10 +87,12 @@ def _class_weight(node):
 
 
 def _link_density(node):
-    total = len(node.inner_text())
+    # raw text lengths on both sides of the ratio: same semantics as the
+    # collapsed-text ratio to within whitespace noise, no regex cost
+    total = node.text_len()
     if total == 0:
         return 0.0
-    link_len = sum(len(a.inner_text()) for a in node.find_all({"a"}))
+    link_len = sum(a.text_len() for a in node.find_all({"a"}))
     return min(1.0, link_len / total)
 
 
