@@ -566,6 +566,48 @@ _LANG_HITS = {
 }
 
 
+def _lsh_ann_oracle():
+    """Hyperplane-LSH top-k in SQL: the deterministic planes (seed 42)
+    are embedded as literals; bucket arithmetic verified bit-identical
+    across engines on the driver data."""
+    from sift_spark.operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(64, 8, 42)
+
+    def bucket_expr(vec_expr):
+        parts = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(v) for v in plane) + "]"
+            parts.append(
+                f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(parts)
+
+    probes = " OR ".join(
+        ["b.bucket = qb.qbucket"]
+        + [f"b.bucket = xor(qb.qbucket, {1 << i})" for i in range(8)]
+    )
+    return f"""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0
+        ),
+        qb AS (SELECT {bucket_expr('qv')} AS qbucket FROM q),
+        b AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {bucket_expr('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        )
+        SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6)
+                   AS cosine
+        FROM b, q, qb
+        WHERE {probes}
+        ORDER BY cosine DESC, vec_id ASC
+        LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     token_base = _TOKENIZE.format(cols="")
     token_docs = _TOKENIZE.format(cols="doc_id, ")
@@ -788,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_score
             FROM feat2
         """,
+        "ann_lsh_topk": _lsh_ann_oracle(),
         "embedding_neardup_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(
