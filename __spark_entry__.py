@@ -439,6 +439,35 @@ def _q_pdf_extract(spark, sf_dir):
     ).select("url", "text", "error")
 
 
+def _q_winnowing_md5(spark, sf_dir):
+    """Winnowing fingerprints with an md5-derived gram hash (engine-
+    portable; the production variant uses xxhash64 -- rows-only)."""
+    docs = _docs(spark, sf_dir)
+    k, window = 8, 4
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", normalized.alias("_t"))
+    t = F.col("_t")
+    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                positions,
+                lambda i: F.conv(
+                    F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        ).alias("pos", "gram_hash"),
+    )
+    return (
+        grams.withColumn("win", (F.col("pos") / window).cast("int"))
+        .groupBy("doc_id", "win")
+        .agg(F.min("gram_hash").alias("fingerprint"))
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
 def _q_media_features(spark, sf_dir):
     from sift_spark.operators.multimodal import (
         build_fake_media_df,
@@ -531,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
+        "winnowing_md5": _q_winnowing_md5,
         # multimodal plumbing
         "media_features": _q_media_features,
         # multi-source combination (sift.go:107-130)
@@ -829,6 +859,29 @@ def oracle_sql() -> dict[str, str]:
                         + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
                        AS quality_score
             FROM feat2
+        """,
+        "winnowing_md5": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, greatest(length(t) - 7, 1)))
+                           AS i,
+                       t
+                FROM norm
+            ),
+            hashed AS (
+                SELECT doc_id, (i - 1) // 4 AS win,
+                       ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+                           AS gram_hash
+                FROM grams
+            )
+            SELECT DISTINCT doc_id, min(gram_hash) OVER (
+                       PARTITION BY doc_id, win) AS fingerprint
+            FROM hashed
         """,
         "ann_lsh_topk": _lsh_ann_oracle(),
         "embedding_neardup_exact": """
