@@ -267,13 +267,14 @@ def _q_sessionize(spark, sf_dir):
 
     events = _events(spark, sf_dir)
     window = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-precision gap: cast("long") would floor to whole seconds
+    # while the DuckDB oracle keeps microseconds -- boundary gaps would
+    # classify differently (round-1 hash mismatch)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gapped = events.select(
         "user_id",
         F.when(
-            (F.col("ts").cast("timestamp").cast("long")
-             - F.lag(F.col("ts").cast("timestamp").cast("long"))
-             .over(window)) > 1800,
-            1,
+            (ts_us - F.lag(ts_us).over(window)) > 1_800_000_000, 1
         ).otherwise(0).alias("new_session"),
     )
     return gapped.groupBy("user_id").agg(
@@ -489,19 +490,24 @@ def _q_combine_sources(spark, sf_dir):
     )
 
 
+def _scaled_sum(col, scale):
+    """Order-independent, engine-portable money sum: round each DOUBLE to
+    integer units at `scale` (both Spark round() and DuckDB round() are
+    half-away-from-zero), sum as exact BIGINT, divide back. Avoids the
+    double->DECIMAL HALF_UP-vs-half-even divergence that failed round 1."""
+    return F.sum(F.round(col * scale).cast("long")) / float(scale)
+
+
 def _q_tpch_pricing_summary(spark, sf_dir):
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
-                "sum_base_price"
-            ),
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
+            _scaled_sum(F.col("l_quantity"), 100).alias("sum_qty"),
+            _scaled_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
+            _scaled_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
             ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
@@ -519,9 +525,7 @@ def _q_orders_by_nation(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
-                "total_price"
-            ),
+            _scaled_sum(F.col("o_totalprice"), 100).alias("total_price"),
         )
     )
 
@@ -753,9 +757,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": """
             WITH gapped AS (
                 SELECT user_id,
-                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id
-                            ) > 1800 THEN 1 ELSE 0 END AS new_session
+                            ) > 1800000000 THEN 1 ELSE 0 END AS new_session
                 FROM events
             )
             SELECT user_id, sum(new_session) + 1 AS n_sessions,
@@ -912,11 +916,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                       AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
                        AS sum_base_price,
-                   sum(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(18,4))) AS sum_disc_price,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -924,7 +929,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_nation": """
             SELECT n_name, count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS total_price
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
