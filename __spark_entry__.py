@@ -312,6 +312,47 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _q_minhash_neardup_md5(spark, sf_dir):
+    """MinHash+LSH near-dup with the engine-portable md5-derived shingle
+    hash (oracle-checked; the production xxhash64 variant is rows-only)."""
+    from sift_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _docs(spark, sf_dir), k=8, n_hashes=16, n_bands=4, min_jaccard=0.5,
+        portable_hash=True,
+    )
+
+
+def _q_simhash_md5(spark, sf_dir):
+    """60-bit SimHash built entirely from native expressions with an
+    md5-derived token hash, reproducible in DuckDB SQL (oracle-checked;
+    the production 64-bit FNV UDF variant is rows-only). Same algorithm:
+    per-token hash, sign-sum per bit, threshold at 0."""
+    from sift_spark.operators.dedup import md5_hash60
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+        ).alias("tok"),
+    )
+    hashed = toks.select("doc_id", md5_hash60(F.col("tok")).alias("h"))
+    bits = hashed.selectExpr(
+        "doc_id",
+        "posexplode(transform(sequence(0, 59), "
+        "b -> IF((shiftright(h, b) & 1) = 1, 1, -1))) AS (bit, delta)",
+    )
+    acc = bits.groupBy("doc_id", "bit").agg(F.sum("delta").alias("acc"))
+    return acc.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("IF(acc > 0, shiftleft(CAST(1 AS BIGINT), bit), "
+                   "CAST(0 AS BIGINT))")
+        ).alias("simhash")
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from sift_spark.operators.similarity import cosine_col
 
@@ -341,10 +382,27 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, query, k=10)
 
 
+def _augmented_embeddings(spark, sf_dir):
+    """Embeddings plus planted near-duplicates: scaled clones (x1.001,
+    cosine exactly 1.0) of vec_id < 16, offset by +1,000,000. The natural
+    max pairwise cosine in the synthetic data is ~0.51, so without
+    planting every near-dup query is vacuously empty (round-1 finding)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from sift_spark.operators.similarity import embedding_near_duplicates
 
-    return embedding_near_duplicates(_emb(spark, sf_dir), min_cosine=0.9)
+    return embedding_near_duplicates(
+        _augmented_embeddings(spark, sf_dir), min_cosine=0.999, dim=64
+    )
 
 
 def _q_embedding_neardup_exact(spark, sf_dir):
@@ -352,8 +410,8 @@ def _q_embedding_neardup_exact(spark, sf_dir):
     variant is verified against); oracle-checked."""
     from sift_spark.operators.similarity import cosine_col
 
-    emb = _emb(spark, sf_dir).select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    emb = _augmented_embeddings(spark, sf_dir).select(
+        F.col("vec_id"), F.col("embedding").alias("v")
     )
     a = emb.alias("a")
     b = emb.alias("b")
@@ -366,7 +424,7 @@ def _q_embedding_neardup_exact(spark, sf_dir):
                 "cosine"
             ),
         )
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.999)
     )
 
 
@@ -553,7 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_neardup": _q_minhash_neardup,
+        "minhash_neardup_md5": _q_minhash_neardup_md5,
         "simhash": _q_simhash,
+        "simhash_md5": _q_simhash_md5,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -600,13 +660,13 @@ _LANG_HITS = {
 }
 
 
-def _lsh_ann_oracle():
-    """Hyperplane-LSH top-k in SQL: the deterministic planes (seed 42)
-    are embedded as literals; bucket arithmetic verified bit-identical
-    across engines on the driver data."""
+def _bucket_sql_builder(dim, n_planes, seed=42):
+    """SQL fragment builder for the hyperplane-LSH bucket id: the
+    deterministic planes are embedded as literals; bucket arithmetic is
+    verified bit-identical across engines on the driver data."""
     from sift_spark.operators.similarity import make_hyperplanes
 
-    planes = make_hyperplanes(64, 8, 42)
+    planes = make_hyperplanes(dim, n_planes, seed)
 
     def bucket_expr(vec_expr):
         parts = []
@@ -618,6 +678,20 @@ def _lsh_ann_oracle():
             )
         return " + ".join(parts)
 
+    return bucket_expr
+
+
+_AUG_EMBEDDINGS_SQL = """
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+            FROM embeddings WHERE vec_id < 16
+"""
+
+
+def _lsh_ann_oracle():
+    bucket_expr = _bucket_sql_builder(64, 8, 42)
     probes = " OR ".join(
         ["b.bucket = qb.qbucket"]
         + [f"b.bucket = xor(qb.qbucket, {1 << i})" for i in range(8)]
@@ -639,6 +713,23 @@ def _lsh_ann_oracle():
         WHERE {probes}
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """
+
+
+def _embedding_neardup_oracle():
+    """Hyperplane-LSH near-dup in SQL: same-bucket join (10 planes, seed
+    42, planes as literals) then exact cosine verify -- mirrors
+    `embedding_near_duplicates` bit-for-bit."""
+    bucket_expr = _bucket_sql_builder(64, 10, 42)
+    return f"""
+        WITH aug AS ({_AUG_EMBEDDINGS_SQL}),
+        b AS (
+            SELECT vec_id, v, {bucket_expr('v')} AS bucket FROM aug
+        )
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.999
     """
 
 
@@ -807,6 +898,84 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_common::DOUBLE /
                   (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.2
         """,
+        "minhash_neardup_md5": """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       substr(t, unnest(generate_series(1,
+                           greatest(length(t) - 7, 1))), 8) AS shingle
+                FROM norm
+            ),
+            hashed AS (
+                SELECT s.doc_id, i.range AS i,
+                       min(('0x' || substr(md5(s.shingle || ':' ||
+                           CAST(i.range AS VARCHAR)), 1, 15))::BIGINT) AS h
+                FROM shingles s CROSS JOIN range(16) i
+                GROUP BY s.doc_id, i.range
+            ),
+            bands AS (
+                SELECT doc_id, i // 4 AS band_idx,
+                       string_agg(CAST(h AS VARCHAR), ':' ORDER BY i)
+                           AS band_key
+                FROM hashed GROUP BY doc_id, i // 4
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_shingles FROM shingles
+                GROUP BY doc_id
+            ),
+            common AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_common
+                FROM cands c
+                JOIN shingles sa ON sa.doc_id = c.id_a
+                JOIN shingles sb ON sb.doc_id = c.id_b
+                                AND sb.shingle = sa.shingle
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common::DOUBLE /
+                         (sa.n_shingles + sb.n_shingles - n_common), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_common::DOUBLE /
+                  (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+        """,
+        "simhash_md5": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), t -> t <> '')) AS tok
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, b.range AS bit,
+                       sum(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS acc
+                FROM hashed CROSS JOIN range(60) b
+                GROUP BY doc_id, b.range
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0
+                       THEN (1::BIGINT << CAST(bit AS INTEGER))
+                       ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
         "ann_cosine_topk": """
             WITH q AS (
                 SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
@@ -888,16 +1057,14 @@ def oracle_sql() -> dict[str, str]:
             FROM hashed
         """,
         "ann_lsh_topk": _lsh_ann_oracle(),
-        "embedding_neardup_exact": """
+        "embedding_neardup_exact": f"""
+            WITH aug AS ({_AUG_EMBEDDINGS_SQL})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                       CAST(a.embedding AS DOUBLE[]),
-                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(
-                      CAST(a.embedding AS DOUBLE[]),
-                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.9
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         """,
+        "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, "

@@ -95,12 +95,26 @@ def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text"):
     ).distinct()
 
 
-def minhash_signatures(shingles_df, n_hashes=32, id_col="doc_id"):
+def md5_hash60(col):
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 -> BIGINT.
+    Reproducible in any SQL engine (used by the DuckDB oracle-parity
+    variants); xxhash64 stays the production default (faster, 64-bit)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_hash(i, portable):
+    if portable:
+        return md5_hash60(F.concat(F.col("shingle"), F.lit(f":{i}")))
+    return F.xxhash64("shingle", F.lit(i))
+
+
+def minhash_signatures(shingles_df, n_hashes=32, id_col="doc_id",
+                       portable_hash=False):
     """(id, sig ARRAY<BIGINT>): H independent min-hashes as H native
     min() aggregations over ONE explode -- map-side partial aggregation
     makes this a single cheap shuffle."""
     aggs = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        F.min(_shingle_hash(i, portable_hash)).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     sigs = shingles_df.groupBy(id_col).agg(*aggs)
@@ -109,21 +123,21 @@ def minhash_signatures(shingles_df, n_hashes=32, id_col="doc_id"):
     )
 
 
-def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
-                        max_bucket_size=None):
-    """Band the signatures and equi-join on (band_idx, band_hash):
-    returns candidate (id_a, id_b) pairs with id_a < id_b.
+def _resolve_n_hashes(sig_df, n_hashes):
+    """n_hashes should be threaded from the caller (who built the
+    signatures); the `.first()` fallback is a driver-side action that
+    runs the whole upstream pipeline for one partition -- hours at
+    100 TB -- so it exists only for ad-hoc use of a bare sig table."""
+    if n_hashes is not None:
+        return n_hashes
+    return len(sig_df.select("sig").first()["sig"])
 
-    max_bucket_size caps the quadratic within-bucket blowup -- the real
-    1000x-scale hazard: a bucket of b docs yields b^2/2 pairs, and hot
-    buckets (boilerplate-identical pages) reach millions of members at
-    crawl scale. Oversized buckets are dropped WITH a marker table
-    available via `oversized_buckets` (standard LSH practice: such
-    groups are handled by exact-hash dedup first, which already
-    collapses identical content)."""
-    n_hashes = len(sig_df.select("sig").first()["sig"])
+
+def _band_table(sig_df, n_bands, n_hashes, id_col):
+    """(id, band_idx, band_hash) -- one xxhash64 per band over the sliced
+    signature, native posexplode (no UDF, no action)."""
     rows_per_band = n_hashes // n_bands
-    bands = sig_df.select(
+    return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -135,6 +149,22 @@ def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
+                        max_bucket_size=None, n_hashes=None):
+    """Band the signatures and equi-join on (band_idx, band_hash):
+    returns candidate (id_a, id_b) pairs with id_a < id_b.
+
+    max_bucket_size caps the quadratic within-bucket blowup -- the real
+    1000x-scale hazard: a bucket of b docs yields b^2/2 pairs, and hot
+    buckets (boilerplate-identical pages) reach millions of members at
+    crawl scale. Oversized buckets are dropped WITH a marker table
+    available via `oversized_buckets` (standard LSH practice: such
+    groups are handled by exact-hash dedup first, which already
+    collapses identical content)."""
+    n_hashes = _resolve_n_hashes(sig_df, n_hashes)
+    bands = _band_table(sig_df, n_bands, n_hashes, id_col)
     if max_bucket_size:
         sizes = Window.partitionBy("band_idx", "band_hash")
         bands = bands.withColumn(
@@ -157,23 +187,11 @@ def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
 
 
 def oversized_buckets(sig_df, n_bands=8, id_col="doc_id",
-                      max_bucket_size=10000):
+                      max_bucket_size=10000, n_hashes=None):
     """Monitoring view: (band_idx, band_hash, n_members) for buckets the
     cap would drop -- feed these groups to exact dedup."""
-    n_hashes = len(sig_df.select("sig").first()["sig"])
-    rows_per_band = n_hashes // n_bands
-    bands = sig_df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    .cast("string")
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    n_hashes = _resolve_n_hashes(sig_df, n_hashes)
+    bands = _band_table(sig_df, n_bands, n_hashes, id_col)
     return (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count("*").alias("n_members"))
@@ -242,7 +260,8 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
 def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
                             min_jaccard=0.7, id_col="doc_id",
                             text_col="text", sample_mod=None,
-                            persist_shingles=False, max_bucket_size=None):
+                            persist_shingles=False, max_bucket_size=None,
+                            portable_hash=False):
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join -> exact-jaccard verify.
 
@@ -254,8 +273,10 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     shingles = char_shingles(docs_df, k, id_col, text_col, sample_mod)
     if persist_shingles:
         shingles = shingles.persist()
-    sigs = minhash_signatures(shingles, n_hashes, id_col)
-    candidates = lsh_candidate_pairs(sigs, n_bands, id_col, max_bucket_size)
+    sigs = minhash_signatures(shingles, n_hashes, id_col, portable_hash)
+    candidates = lsh_candidate_pairs(
+        sigs, n_bands, id_col, max_bucket_size, n_hashes=n_hashes
+    )
     return jaccard_pairs(shingles, id_col, min_jaccard, candidates)
 
 
@@ -298,15 +319,11 @@ def _fnv1a64(token):
     return value
 
 
-def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
-                            text_col="text"):
-    """SimHash near-dup: candidate blocking on 16-bit chunks (a hash
-    differing in <= 3 of 64 bits matches on at least one of 4 chunks --
-    pigeonhole), then exact Hamming verify via bit_count (native)."""
-    hashed = docs_df.select(
-        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
-    ).cache()
-    chunks = hashed.select(
+def _simhash_blocks(hashed, id_col):
+    """(id, simhash, chunk_idx, chunk_val): 4x 16-bit blocking keys per
+    doc (a hash differing in <= 3 of 64 bits matches on at least one of
+    4 chunks -- pigeonhole)."""
+    return hashed.select(
         id_col,
         "simhash",
         F.posexplode(
@@ -318,6 +335,44 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+
+
+def simhash_oversized_blocks(docs_df, id_col="doc_id", text_col="text",
+                             max_bucket_size=1000):
+    """Monitoring view: (chunk_idx, chunk_val, n_members) for 16-bit
+    blocks the cap would drop -- route these to exact dedup first."""
+    hashed = docs_df.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    )
+    return (
+        _simhash_blocks(hashed, id_col)
+        .groupBy("chunk_idx", "chunk_val")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_bucket_size)
+    )
+
+
+def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
+                            text_col="text", max_bucket_size=1000):
+    """SimHash near-dup: candidate blocking on 16-bit chunks (pigeonhole:
+    <= 3 differing bits of 64 guarantees one of the 4 chunks matches),
+    then exact Hamming verify via bit_count (native).
+
+    max_bucket_size caps the per-(chunk_idx, chunk_val) bucket: there are
+    only 65,536 values per chunk index, so at crawl scale hot chunk
+    values (boilerplate-heavy hashes) would otherwise produce a quadratic
+    pair blowup -- the same hazard and the same remedy as
+    `lsh_candidate_pairs`. Dropped blocks are observable via
+    `simhash_oversized_blocks` and should be routed to exact dedup."""
+    hashed = docs_df.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    ).cache()
+    chunks = _simhash_blocks(hashed, id_col)
+    if max_bucket_size:
+        sizes = Window.partitionBy("chunk_idx", "chunk_val")
+        chunks = chunks.withColumn(
+            "_bucket_n", F.count("*").over(sizes)
+        ).filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (

@@ -100,16 +100,22 @@ def lsh_cosine_topk(emb_df, query_vec, k=10, n_planes=8, seed=42,
 
 
 def embedding_near_duplicates(emb_df, min_cosine=0.95, n_planes=10, seed=42,
-                              id_col="vec_id", vec_col="embedding"):
+                              id_col="vec_id", vec_col="embedding",
+                              dim=None):
     """Embedding-cosine near-dup pairs: bucket join (same signature) then
     exact cosine verify. At 100 TB, bucket sizes are the knob: more
-    planes -> smaller buckets -> cheaper join, lower recall."""
-    first = emb_df.select(vec_col).first()
-    if first is None:
-        return emb_df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
-        )
-    dim = len(first[vec_col])
+    planes -> smaller buckets -> cheaper join, lower recall.
+
+    Pass `dim` explicitly (the caller knows the embedding width); the
+    `.first()` fallback is a driver-side action that runs the upstream
+    pipeline for one partition -- fine ad hoc, wrong in production."""
+    if dim is None:
+        first = emb_df.select(vec_col).first()
+        if first is None:
+            return emb_df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(first[vec_col])
     planes = make_hyperplanes(dim, n_planes, seed)
     vec = F.col(vec_col).cast("array<double>")
     bucketed = emb_df.select(

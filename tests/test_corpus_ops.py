@@ -38,7 +38,8 @@ def test_exact_dedup(spark):
     assert kept == [1, 3, 5]
 
 
-def test_minhash_lsh_finds_near_duplicates(spark):
+@pytest.mark.parametrize("portable", [False, True])
+def test_minhash_lsh_finds_near_duplicates(spark, portable):
     from sift_spark.operators.dedup import minhash_near_duplicates
 
     base = ("the quick brown fox jumps over the lazy dog and keeps running "
@@ -51,11 +52,27 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     )
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in minhash_near_duplicates(df, min_jaccard=0.5).collect()
+        for r in minhash_near_duplicates(
+            df, min_jaccard=0.5, portable_hash=portable
+        ).collect()
     }
     assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
     assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
     assert not any(3 in pair for pair in pairs)
+
+
+def test_minhash_pipeline_builds_without_driver_actions(spark):
+    """n_hashes is threaded from the caller, so constructing the full
+    LSH pipeline is pure plan building -- the round-1 `.first()` probe
+    triggered a whole upstream job mid-plan (hours at 100 TB)."""
+    from sift_spark.operators.dedup import minhash_near_duplicates
+
+    df = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    minhash_near_duplicates(df, n_hashes=16, n_bands=4)  # plan only
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "building the LSH plan must not launch jobs"
 
 
 def test_jaccard_exact_values(spark):
@@ -266,3 +283,67 @@ def test_lsh_bucket_cap_drops_hot_buckets(spark):
     hot = oversized_buckets(sigs, 8, max_bucket_size=10)
     assert hot.count() > 0
     assert hot.agg({"n_members": "max"}).first()[0] == 20
+
+
+def test_simhash_bucket_cap_drops_hot_blocks(spark):
+    """SimHash 16-bit blocking has <= 65,536 buckets per chunk index, so
+    hot blocks are inevitable at crawl scale; the cap bounds the pair
+    blowup and the monitor surfaces what was dropped (route to exact
+    dedup, which collapses identical content anyway)."""
+    from sift_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_oversized_blocks,
+    )
+
+    same = "identical boilerplate page content repeated across the crawl"
+    rows = [(i, same) for i in range(20)] + [(100, "a unique document here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = simhash_near_duplicates(df, max_bucket_size=None).count()
+    assert uncapped == 20 * 19 // 2  # full quadratic set
+
+    capped = simhash_near_duplicates(df, max_bucket_size=10).count()
+    assert capped == 0  # hot 16-bit blocks dropped entirely
+
+    hot = simhash_oversized_blocks(df, max_bucket_size=10)
+    assert hot.count() == 4  # all 4 chunk indexes of the identical hash
+    assert hot.agg({"n_members": "max"}).first()[0] == 20
+
+
+def test_embedding_neardup_lsh_recall_on_planted(spark):
+    """LSH near-dup must recover every planted near-duplicate the exact
+    all-pairs baseline finds at the same threshold (scaled clones share
+    every hyperplane sign, so same-bucket recall is structural)."""
+    import random
+
+    from sift_spark.operators.similarity import (
+        cosine_col,
+        embedding_near_duplicates,
+    )
+
+    rng = random.Random(7)
+    base = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(16)]) for i in range(30)
+    ]
+    planted = [(i + 1000, [x * 1.001 for x in v]) for i, v in base[:5]]
+    emb = spark.createDataFrame(
+        base + planted, "vec_id long, embedding array<double>"
+    )
+
+    lsh = embedding_near_duplicates(emb, min_cosine=0.999, dim=16)
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.999)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert want == {(i, i + 1000) for i in range(5)}
+    assert got == want  # 100% recall on planted clones
