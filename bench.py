@@ -135,7 +135,10 @@ def main(argv=None):
     ).first()
     n_docs, html_bytes = stats[0], stats[1]
 
-    # warmup: spin up the Python worker pool + JIT before timing
+    # warmup: spin up the Python worker pool + JIT/codegen before timing
+    # (covers the UDF pipeline AND the shuffle/join shapes -- round-1
+    # dedup_minhash "regression" was first-run warmup, ~5s of 14.7s)
+    from sift_spark.operators.dedup import minhash_near_duplicates
     from sift_spark.operators.extract import extract_pages
     from sift_spark.core.pipeline import SiftParams as _SP
     from sift_spark.core.counters import WORDS as _W
@@ -143,6 +146,10 @@ def main(argv=None):
     extract_pages(
         pages_from_documents(spark, args.sf_dir).limit(64),
         _SP(counting_method=_W, max_units=50),
+    ).count()
+    warm_docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    minhash_near_duplicates(
+        warm_docs.limit(64), k=8, n_hashes=8, n_bands=2, min_jaccard=0.5
     ).count()
 
     timings = {}
