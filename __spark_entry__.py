@@ -454,6 +454,26 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_token_counts_fallback(spark, sf_dir):
+    """Token counts from the REAL fallback encoder (the one extraction
+    budgets use when no cl100k vocab is present), oracle-checked: the
+    engine-portable FALLBACK_PATTERN lets DuckDB re-derive the count
+    independently (counters.py docstring)."""
+    from pyspark.sql import types as T
+
+    from sift_spark.core.counters import FallbackTokenizer
+
+    tok = FallbackTokenizer()
+
+    @F.pandas_udf(T.LongType())
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.map(lambda v: tok.count(v) if v else 0)
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", n_tokens(F.col("text")).alias("n_tokens_fallback")
+    )
+
+
 def _q_fingerprint(spark, sf_dir):
     from sift_spark.operators.textstats import fingerprint_col
 
@@ -622,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_profile": _q_quality_profile,
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
+        "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
         "winnowing": _q_winnowing,
         "winnowing_md5": _q_winnowing_md5,
@@ -713,6 +734,24 @@ def _lsh_ann_oracle():
         WHERE {probes}
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
+    """
+
+
+def _fallback_token_oracle():
+    """DuckDB re-derivation of the fallback tokenizer count: same
+    engine-portable pre-token pattern, same piece-splitting arithmetic
+    (pieces of <= 5 chars are one span, longer pieces ceil(len/4))."""
+    from sift_spark.core.counters import FALLBACK_PATTERN
+
+    pattern_sql = FALLBACK_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(
+                   regexp_extract_all(text, '{pattern_sql}'),
+                   p -> CASE WHEN length(p) <= 5 THEN 1
+                        ELSE CAST(ceil(length(p) / 4.0) AS BIGINT) END
+               )), 0) AS BIGINT) AS n_tokens_fallback
+        FROM documents
     """
 
 
@@ -1070,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens FROM documents"
         ),
+        "token_counts_fallback": _fallback_token_oracle(),
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
             "'g'))) AS fingerprint FROM documents"

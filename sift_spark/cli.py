@@ -51,6 +51,18 @@ def build_params(args):
     if use_smart and context_units == 0:
         context_units = 200  # main.go:105-107
 
+    if method == TOKENS:
+        from .core.counters import FallbackTokenizer, get_tokenizer
+
+        if isinstance(get_tokenizer(), FallbackTokenizer):
+            print(
+                "warning: cl100k_base vocab not available; counting with "
+                "the deterministic fallback tokenizer (set "
+                "$SIFT_SPARK_CL100K_PATH to a tiktoken-format rank file "
+                "for exact parity with sift's token budgets)",
+                file=sys.stderr,
+            )
+
     return SiftParams(
         selector=args.selector,
         include_all=args.include_all,

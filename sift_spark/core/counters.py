@@ -12,10 +12,13 @@ tiktoken"):
   * if the real tiktoken-format vocab file is supplied via
     $SIFT_SPARK_CL100K_PATH, a from-scratch BPE encoder uses it (exact
     parity with the reference's token counts);
-  * otherwise a deterministic fallback segmenter applies the cl100k
-    pre-tokenizer regex and splits long word pieces every 4 characters --
-    stable, order-free, and span-preserving, so CreatePartialText
-    semantics (encode, slice, decode = exact prefix of the input) hold.
+  * otherwise a deterministic fallback segmenter applies a cl100k-style
+    pre-tokenizer regex (FALLBACK_PATTERN, engine-portable: identical in
+    Python re / Java regex / RE2) and splits long pieces every 4
+    characters -- stable, order-free, and span-preserving, so
+    CreatePartialText semantics (encode, slice, decode = exact prefix of
+    the input) hold, and the count is oracle-checked cross-engine by the
+    driver gate (token_counts_fallback).
 
 The reference's own tests never assert exact token counts
 (counter_test.go:85-97), only positivity and empty->0.
@@ -31,18 +34,26 @@ TOKENS = "tokens"
 WORDS = "words"
 CHARS = "chars"
 
-# cl100k_base pre-tokenizer pattern (public; tiktoken source), translated
-# to Python re (no \p classes): letters -> [^\W\d_], digits -> \d
-_PRETOKEN_RE = re.compile(
-    r"""'(?i:[sdmt]|ll|ve|re)
-      | [^\r\n\W\d_]+(?:[^\W\d_]+)?
-      | \d{1,3}
-      | \ ?[^\s\w]+[\r\n]*
-      | \s*[\r\n]
-      | \s+(?!\S)
-      | \s+""",
-    re.VERBOSE,
+# Fallback pre-tokenizer: a cl100k-STYLE pattern (contractions, letter
+# runs, short digit runs, punct with attached leading space, newline
+# handling, whitespace runs) deliberately restricted to the common
+# subset of Python re / Java regex / RE2 -- explicit ASCII classes, no
+# lookahead, ordered alternation. The SAME pattern string therefore
+# tokenizes identically in the Python kernel, in Spark-native
+# regexp_extract_all, and in a DuckDB oracle, which is what lets the
+# driver gate hash-check the real encoder (token_counts_fallback).
+# Every character is covered by some branch, so the matches partition
+# the input (span-preserving: decode(encode[:k]) is an exact prefix).
+FALLBACK_PATTERN = (
+    r"'(?i:[sdmt]|ll|ve|re)"
+    r"|[A-Za-z]+"
+    r"|[0-9]{1,3}"
+    r"| ?[^\sA-Za-z0-9]+[\r\n]*"
+    r"|\s*[\r\n]"
+    r"|\s+"
 )
+# re.ASCII pins \s to the ASCII set Java regex and RE2 use by default
+_PRETOKEN_RE = re.compile(FALLBACK_PATTERN, re.ASCII)
 _FALLBACK_PIECE = 4  # chars per sub-token for long word pieces
 
 

@@ -89,3 +89,40 @@ def test_tfidf_exact_scores():
 
     # "the" appears in docs 0,1 -> df=2, tf(doc1) = 1/5
     assert corpus.score("the", 1) == pytest.approx((1 / 5) * math.log(3 / 2))
+
+
+# ---- engine-portable fallback spec --------------------------------------------------
+
+
+def test_fallback_pattern_is_engine_portable():
+    """The fallback pre-tokenizer must stay in the Python-re / Java-regex
+    / RE2 common subset so the driver's DuckDB oracle can re-derive the
+    count (token_counts_fallback). Checked directly against DuckDB here;
+    the Spark side is checked by tests/test_entry_oracle.py."""
+    import duckdb
+
+    from sift_spark.core.counters import FALLBACK_PATTERN, FallbackTokenizer
+
+    assert "(?!" not in FALLBACK_PATTERN  # no lookahead (RE2)
+    assert "(?<" not in FALLBACK_PATTERN  # no lookbehind (RE2)
+
+    tok = FallbackTokenizer()
+    con = duckdb.connect()
+    pattern_sql = FALLBACK_PATTERN.replace("'", "''")
+    cases = [
+        "hello world", "it's Tom's   dog", "a_b__c_d", "12345 678 9",
+        "line one\nline two\r\nthree", "café naïve",
+        "trailing   ", "   leading", "emoji \U0001f44b x  nbsp",
+        "supercalifragilisticexpialidocious", "!!!???...", "", "x",
+    ]
+    for text in cases:
+        assert "".join(tok.encode_spans(text)) == text  # spans partition
+        duck = con.sql(
+            "SELECT CAST(coalesce(list_sum(list_transform("
+            f"regexp_extract_all(?, '{pattern_sql}'), "
+            "p -> CASE WHEN length(p) <= 5 THEN 1 "
+            "ELSE CAST(ceil(length(p)/4.0) AS BIGINT) END)), 0) AS BIGINT)",
+            params=[text],
+        ).fetchone()[0]
+        assert tok.count(text) == duck, text
+    con.close()
