@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Two-parallelism scaling evidence (BASELINE.json north_rule proxy).
+"""Three-point scaling evidence (BASELINE.json north_rule proxy).
 
 No real cluster exists in this sandbox, so the N vs 4N executor
 requirement is evidenced by running the IDENTICAL job on the IDENTICAL
-input at local[N] and local[4N] in separate JVMs (fresh subprocess each)
-and reporting
+input at local[N], local[2N] and local[4N] in separate JVMs (fresh
+subprocess each) and reporting, for each step i -> j,
 
-    efficiency = throughput(4N) / (4 * throughput(N))
+    efficiency = throughput(j) / ((cores_j / cores_i) * throughput(i))
 
 Two controls make the number honest:
   * a NO-SPARK multiprocessing control runs the same extraction kernel on
@@ -52,7 +52,9 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = build_big_pages_df(
     spark, {n_pages}, n_partitions=cores * 4, section_scale={section_scale}
 ).cache()
+gen_start = time.perf_counter()
 stats = pages.agg(F.count("*"), F.sum(F.length("html"))).first()
+gen_sec = time.perf_counter() - gen_start
 n_docs, html_bytes = stats[0], stats[1]
 
 params = SiftParams(counting_method=WORDS, max_units=200)
@@ -79,6 +81,7 @@ print("RESULT " + json.dumps({{
     "html_mb": (html_bytes or 0) / 1e6,
     "docs_per_sec": n_docs / elapsed,
     "mb_per_sec": (html_bytes or 0) / 1e6 / elapsed,
+    "gen_sec": gen_sec,
     "digest": str(result["digest"]), "out_bytes": int(result["out_b"]),
 }}))
 spark.stop()
@@ -141,65 +144,96 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     common = dict(n_pages=args.n_pages, section_scale=args.section_scale)
-    spark_n = _run_snippet(SPARK_SNIPPET, cores=args.n, **common)
-    spark_4n = _run_snippet(SPARK_SNIPPET, cores=args.n * 4, **common)
-    ctl_n = _run_snippet(CONTROL_SNIPPET, cores=args.n, **common)
-    ctl_4n = _run_snippet(CONTROL_SNIPPET, cores=args.n * 4, **common)
+    levels = [args.n, args.n * 2, args.n * 4]
+    spark_runs = [_run_snippet(SPARK_SNIPPET, cores=c, **common)
+                  for c in levels]
+    ctl_runs = [_run_snippet(CONTROL_SNIPPET, cores=c, **common)
+                for c in levels]
 
-    eff_spark = spark_4n["docs_per_sec"] / (4 * spark_n["docs_per_sec"])
-    eff_platform = ctl_4n["docs_per_sec"] / (4 * ctl_n["docs_per_sec"])
-    eff_engine = eff_spark / eff_platform if eff_platform else 0.0
-    identical = (spark_n["digest"] == spark_4n["digest"]
-                 and spark_n["out_bytes"] == spark_4n["out_bytes"])
+    def eff(runs, i, j):
+        ratio = levels[j] / levels[i]
+        return runs[j]["docs_per_sec"] / (ratio * runs[i]["docs_per_sec"])
+
+    steps = [(0, 1), (1, 2), (0, 2)]  # N->2N, 2N->4N, N->4N
+    eff_spark = {s: eff(spark_runs, *s) for s in steps}
+    eff_platform = {s: eff(ctl_runs, *s) for s in steps}
+    eff_engine = {
+        s: (eff_spark[s] / eff_platform[s] if eff_platform[s] else 0.0)
+        for s in steps
+    }
+    identical = (
+        len({r["digest"] for r in spark_runs}) == 1
+        and len({r["out_bytes"] for r in spark_runs}) == 1
+    )
+
+    def step_name(s):
+        return f"local[{levels[s[0]]}] -> local[{levels[s[1]]}]"
+
+    spark_rows = "\n".join(
+        f"| local[{c}] | {r['sec']:.2f} | {r['gen_sec']:.2f} | "
+        f"{r['docs_per_sec']:.1f} | {r['mb_per_sec']:.2f} |"
+        for c, r in zip(levels, spark_runs)
+    )
+    ctl_rows = "\n".join(
+        f"| {c} | {r['sec']:.2f} | {r['docs_per_sec']:.1f} |"
+        for c, r in zip(levels, ctl_runs)
+    )
+    eff_rows = "\n".join(
+        f"| {step_name(s)} | {eff_spark[s]:.3f} | {eff_platform[s]:.3f} | "
+        f"**{eff_engine[s]:.3f}** |"
+        for s in steps
+    )
 
     report = f"""# BENCH/BASELINE — measured extraction throughput + scaling
 
 Input: deterministic synthetic pages corpus (seed 42; page k is a pure
 function of k, generated and cached distributed -- the driver never
-materializes the corpus): {spark_n['n_docs']} docs,
-{spark_n['html_mb']:.1f} MB HTML. Job: full sift extraction pipeline
-(vectorized readability UDF + word-budget 200), identical code and input
-at both parallelism levels; fresh JVM per run; warmup pass before timing;
-the timed action is a distributed aggregate (count + output-byte sum +
-order-insensitive crc digest), never a driver collect; best of 2 runs.
+materializes the corpus): {spark_runs[0]['n_docs']} docs,
+{spark_runs[0]['html_mb']:.1f} MB HTML. Job: full sift extraction
+pipeline (vectorized readability UDF + word-budget 200), identical code
+and input at every parallelism level; fresh JVM per run; warmup pass
+before timing; the timed action is a distributed aggregate (count +
+output-byte sum + order-insensitive crc digest), never a driver collect;
+best of 2 runs. "gen" is the corpus generation+cache stage, timed
+separately from the extraction stage.
 
-## Spark job (the `spark-submit --py-files`-able extraction job)
+## Spark job (the `spark-submit --py-files`-able extraction job), three parallelism points
 
-| parallelism | wall sec | docs/sec | MB/sec HTML-in |
-|---|---|---|---|
-| local[{args.n}]  | {spark_n['sec']:.2f} | {spark_n['docs_per_sec']:.1f} | {spark_n['mb_per_sec']:.2f} |
-| local[{args.n * 4}] | {spark_4n['sec']:.2f} | {spark_4n['docs_per_sec']:.1f} | {spark_4n['mb_per_sec']:.2f} |
-
-Raw scaling efficiency (N -> 4N): **{eff_spark:.3f}**
+| parallelism | extract sec | gen sec | docs/sec | MB/sec HTML-in |
+|---|---|---|---|---|
+{spark_rows}
 
 ## Platform-ceiling control (NO Spark: bare multiprocessing, same kernel, same docs)
 
 | processes | wall sec | docs/sec |
 |---|---|---|
-| {args.n}  | {ctl_n['sec']:.2f} | {ctl_n['docs_per_sec']:.1f} |
-| {args.n * 4} | {ctl_4n['sec']:.2f} | {ctl_4n['docs_per_sec']:.1f} |
+{ctl_rows}
 
-Platform ceiling efficiency (N -> 4N): **{eff_platform:.3f}** -- this
-single box cannot scale ANY {args.n}->{args.n * 4}-way CPU-bound Python
-workload better than this: measured ~9% hypervisor CPU steal + ~6%
-scheduler idle under full 32-core load (cgroup CPU quota unlimited; 32
-physical cores, no SMT; memory-bandwidth contention on top). A real
-4N-executor cluster multiplies memory bandwidth and has no shared-host
-steal, so this ceiling does not apply there.
+The control measures the PLATFORM ceiling -- this single box cannot
+scale ANY CPU-bound Python workload better: measured ~9% hypervisor CPU
+steal + ~6% scheduler idle under full 32-core load (cgroup CPU quota
+unlimited; 32 physical cores, no SMT; memory-bandwidth contention on
+top). A real 4N-executor cluster multiplies memory bandwidth and has no
+shared-host steal, so this ceiling does not apply there.
 
-## Engine-attributable efficiency
+## Scaling efficiency per step (throughput ratio / core ratio)
 
-**efficiency(engine) = eff(spark) / eff(platform) = {eff_engine:.3f}**
+| step | raw Spark | platform ceiling | engine-attributable |
+|---|---|---|---|
+{eff_rows}
+
+Engine-attributable = eff(spark) / eff(platform): the Spark layer's own
+coordination overhead relative to what this box can physically deliver
 (target >= 0.8, BASELINE.json north_rule; sandbox proxy for N vs 4N
-executors -- the Spark layer adds no coordination overhead beyond the
-platform's achievable parallel ceiling).
+executors). Three points rather than one ratio-of-ratios: each step is
+an independent check that the control tracks the engine.
 
-**Output byte-identity across parallelism levels: {"PASS" if identical else "FAIL"}**
-(order-insensitive crc32 digest over url|text|error + total output bytes:
-`{spark_n['digest']}`/{spark_n['out_bytes']} vs `{spark_4n['digest']}`/{spark_4n['out_bytes']}).
+**Output byte-identity across all three parallelism levels: {"PASS" if identical else "FAIL"}**
+(order-insensitive crc32 digest over url|text|error + total output
+bytes: {" / ".join(f"`{r['digest']}`" for r in spark_runs)}).
 
 Reference baseline: the reference publishes no throughput numbers
-(BASELINE.md); these are the engine's first measured numbers. Kernel
+(BASELINE.md); these are the engine's own recorded numbers. Kernel
 cost: ~9.7 ms/doc single-thread at ~25 KB pages (parse + readability +
 markdown + budget), ≈ 2.1 MB/s/core HTML-in.
 """
@@ -208,12 +242,13 @@ markdown + budget), ≈ 2.1 MB/s/core HTML-in.
     with open(path, "w") as fh:
         fh.write(report)
     print(json.dumps({
-        "n": args.n,
-        "spark_docs_per_sec_n": round(spark_n["docs_per_sec"], 1),
-        "spark_docs_per_sec_4n": round(spark_4n["docs_per_sec"], 1),
-        "eff_spark": round(eff_spark, 3),
-        "eff_platform": round(eff_platform, 3),
-        "eff_engine": round(eff_engine, 3),
+        "levels": levels,
+        "spark_docs_per_sec": [round(r["docs_per_sec"], 1)
+                               for r in spark_runs],
+        "eff_spark": {step_name(s): round(eff_spark[s], 3) for s in steps},
+        "eff_platform": {step_name(s): round(eff_platform[s], 3)
+                         for s in steps},
+        "eff_engine": {step_name(s): round(eff_engine[s], 3) for s in steps},
         "byte_identical": identical,
         "report": path,
     }))

@@ -84,3 +84,88 @@ def test_golden_covers_grid(golden):
     urls = {key.split("|")[0] for key in golden}
     assert "fixture://simple" in urls and "synthetic://big-0" in urls
     assert len(golden) == len(_corpus()) * len(PARAM_GRID)
+
+
+# ---- per-case edge goldens ----------------------------------------------------------
+#
+# The reference's selector/nested/malformed tables
+# (/root/reference/internal/extract/extract_test.go:125-196,341-433) are
+# covered as assertions in tests/test_core_extract.py; here the SAME
+# cases are byte-frozen individually so a kernel change points at the
+# exact diverging case instead of a corpus-wide byte drift.
+
+CASES_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                          "extraction_cases.json")
+
+EDGE_CASES = {
+    # extract_test.go:125-196 (selector table)
+    "simple-readability": ("SIMPLE", ""),
+    "blog-readability": ("BLOG", ""),
+    "article-selector": ("SIMPLE", "article"),
+    "class-selector": ("BLOG", ".post-content"),
+    "h3-multi-match": ("BLOG", "h3"),
+    "ol-selector": ("BLOG", "ol"),
+    "blockquote-selector": ("BLOG", "blockquote"),
+    "nonexistent-selector": ("SIMPLE", ".non-existent"),
+    "invalid-selector": ("SIMPLE", ">>invalid<<"),
+    "malformed-with-selector": ("MALFORMED", ".content"),
+    "empty-html": ("", ""),
+    "whitespace-only-html": ("   \n\t   ", ""),
+    # extract_test.go:329-360 (edge-case table)
+    "whitespace-only-div": (
+        "<html><body><div>   \\n\\t   </div></body></html>", "div"),
+    "nested-selectors": (
+        '<html><body><div class="outer"><div class="inner">Content'
+        "</div></div></body></html>", ".outer .inner"),
+    "multiple-matching": (
+        "<html><body><p>Para 1</p><p>Para 2</p><p>Para 3</p></body></html>",
+        "p"),
+    "complex-nested": (
+        "<html><body><div><article><header><h1>Title</h1></header>"
+        "<section><p>Content</p></section></article></div></body></html>",
+        "article"),
+    # extract_test.go:385-433 (line-break table)
+    "br-line-breaks": (
+        "<html><body><p>Line one<br>Line two<br>Line three</p></body></html>",
+        "p"),
+    "br-self-closing": (
+        "<html><body><p>First line<br/>Second line</p></body></html>", "p"),
+    "br-multiple": (
+        "<html><body><p>Line one<br><br>Line two</p></body></html>", "p"),
+}
+
+
+def _case_html(spec):
+    from tests.fixtures import BLOG_POST_HTML, MALFORMED_HTML, SIMPLE_HTML
+
+    return {"SIMPLE": SIMPLE_HTML, "BLOG": BLOG_POST_HTML,
+            "MALFORMED": MALFORMED_HTML}.get(spec, spec)
+
+
+def _generate_cases():
+    from sift_spark.core.extract import to_markdown
+
+    out = {}
+    for name, (html_spec, selector) in EDGE_CASES.items():
+        text, error = to_markdown(_case_html(html_spec), selector=selector)
+        out[name] = {"text": text, "error": error}
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden_cases():
+    if not os.path.exists(CASES_PATH):
+        with open(CASES_PATH, "w") as fh:
+            json.dump(_generate_cases(), fh, indent=1, sort_keys=True)
+    with open(CASES_PATH) as fh:
+        return json.load(fh)
+
+
+@pytest.mark.parametrize("name", sorted(EDGE_CASES))
+def test_golden_edge_case(golden_cases, name):
+    got = _generate_cases()[name]
+    assert got["error"] == golden_cases[name]["error"], name
+    assert got["text"] == golden_cases[name]["text"], (
+        f"byte drift at {name}: {got['text']!r} != "
+        f"{golden_cases[name]['text']!r}"
+    )
