@@ -353,6 +353,18 @@ def _q_simhash_md5(spark, sf_dir):
     )
 
 
+def _q_simhash_pairs_md5(spark, sf_dir):
+    """Full simhash near-dup pipeline (blocking + Hamming verify) over
+    the md5-derived 60-bit hashes; the oracle is an ALL-PAIRS Hamming
+    filter, so a green hash also proves the 16-bit-chunk pigeonhole
+    blocking is lossless at max_hamming=3."""
+    from sift_spark.operators.dedup import simhash_pairs_from_hashes
+
+    return simhash_pairs_from_hashes(
+        _q_simhash_md5(spark, sf_dir), max_hamming=3
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from sift_spark.operators.similarity import cosine_col
 
@@ -634,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_md5": _q_minhash_neardup_md5,
         "simhash": _q_simhash,
         "simhash_md5": _q_simhash_md5,
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -735,6 +748,33 @@ def _lsh_ann_oracle():
         ORDER BY cosine DESC, vec_id ASC
         LIMIT 10
     """
+
+
+_SIMHASH_MD5_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text),
+                           '\\s+'), t -> t <> '')) AS tok
+                FROM documents
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, b.range AS bit,
+                       sum(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS acc
+                FROM hashed CROSS JOIN range(60) b
+                GROUP BY doc_id, b.range
+            )
+            SELECT doc_id,
+                   sum(CASE WHEN acc > 0
+                       THEN (1::BIGINT << CAST(bit AS INTEGER))
+                       ELSE 0 END) AS simhash
+            FROM bits GROUP BY doc_id
+"""
 
 
 def _fallback_token_oracle():
@@ -990,30 +1030,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_common::DOUBLE /
                   (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
         """,
-        "simhash_md5": """
-            WITH toks AS (
-                SELECT doc_id,
-                       unnest(list_filter(regexp_split_to_array(lower(text),
-                           '\\s+'), t -> t <> '')) AS tok
-                FROM documents
-            ),
-            hashed AS (
-                SELECT doc_id,
-                       ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-                FROM toks
-            ),
-            bits AS (
-                SELECT doc_id, b.range AS bit,
-                       sum(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
-                           THEN 1 ELSE -1 END) AS acc
-                FROM hashed CROSS JOIN range(60) b
-                GROUP BY doc_id, b.range
-            )
-            SELECT doc_id,
-                   sum(CASE WHEN acc > 0
-                       THEN (1::BIGINT << CAST(bit AS INTEGER))
-                       ELSE 0 END) AS simhash
-            FROM bits GROUP BY doc_id
+        "simhash_md5": _SIMHASH_MD5_SQL,
+        "simhash_pairs_md5": f"""
+            WITH s AS ({_SIMHASH_MD5_SQL})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(CAST(a.simhash AS BIGINT),
+                                 CAST(b.simhash AS BIGINT))) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(CAST(a.simhash AS BIGINT),
+                                CAST(b.simhash AS BIGINT))) <= 3
         """,
         "ann_cosine_topk": """
             WITH q AS (

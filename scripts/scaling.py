@@ -48,9 +48,14 @@ spark = get_spark(app_name="scaling-%d" % cores, cores=cores,
 spark.sparkContext.setLogLevel("ERROR")
 
 # deterministic heavy corpus, generated AND cached distributed (the
-# driver never holds it); 4x tasks per core for stragglerless balance
+# driver never holds it). ONE task per core: pyspark pays a measured
+# ~0.3-0.5 s of Python-worker CPU PER TASK (UDF re-deserialization in
+# the reused worker), so 4x tasks per core costs ~1.5 s/core of pure
+# overhead -- with 250 docs/task the per-task size variance averages
+# out and stragglers are not a factor (measured cores-busy parity with
+# the bare-multiprocessing control).
 pages = build_big_pages_df(
-    spark, {n_pages}, n_partitions=cores * 4, section_scale={section_scale}
+    spark, {n_pages}, n_partitions=cores, section_scale={section_scale}
 ).cache()
 gen_start = time.perf_counter()
 stats = pages.agg(F.count("*"), F.sum(F.length("html"))).first()
@@ -91,24 +96,31 @@ CONTROL_SNIPPET = r"""
 import json, sys, time, multiprocessing as mp
 sys.path.insert(0, {repo!r})
 
+# fair control: pre-generate the SAME pages once in the parent (children
+# inherit copy-on-write), then time EXTRACTION ONLY -- exactly the work
+# the Spark timed loop does over its cached pages
+def gen(k):
+    from sift_spark.sources.fixtures import big_page_html
+    return big_page_html(int(k), scale={section_scale}).encode()
+
 def work(bounds):
     lo, hi = bounds
-    from sift_spark.sources.fixtures import big_page_html
     from sift_spark.core.pipeline import SiftParams
     from sift_spark.core.counters import WORDS, Counter
     from sift_spark.operators.extract import _run_one
     params = SiftParams(counting_method=WORDS, max_units=200)
     counter = Counter(WORDS)
     for k in range(lo, hi):
-        _run_one(big_page_html(int(k), scale={section_scale}).encode(),
-                 params, counter)
+        _run_one(PAGES[k], params, counter)
     return hi - lo
 
 if __name__ == "__main__":
     procs = {cores}
     n = {n_pages}
+    with mp.Pool(procs) as gp:
+        PAGES = gp.map(gen, range(n), chunksize=max(n // procs, 1))
     chunks = [(i * n // procs, (i + 1) * n // procs) for i in range(procs)]
-    with mp.Pool(procs) as pool:
+    with mp.Pool(procs) as pool:  # forked AFTER PAGES exists (COW)
         pool.map(work, [(0, 5)] * procs)  # warm imports
         elapsed = 1e18
         for _ in range(2):

@@ -355,11 +355,14 @@ def simhash_oversized_blocks(docs_df, id_col="doc_id", text_col="text",
     )
 
 
-def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
-                            text_col="text", max_bucket_size=1000):
-    """SimHash near-dup: candidate blocking on 16-bit chunks (pigeonhole:
-    <= 3 differing bits of 64 guarantees one of the 4 chunks matches),
-    then exact Hamming verify via bit_count (native).
+def simhash_pairs_from_hashes(hashed, max_hamming=3, id_col="doc_id",
+                              max_bucket_size=1000):
+    """Near-dup pairs from a (id, simhash) table: candidate blocking on
+    16-bit chunks (pigeonhole: <= 3 differing bits of 64 guarantees one
+    of the 4 chunks matches), then exact Hamming verify via bit_count
+    (native). The blocking is LOSSLESS for max_hamming <= 3 -- the
+    driver oracle checks it against an all-pairs filter
+    (simhash_pairs_md5).
 
     max_bucket_size caps the per-(chunk_idx, chunk_val) bucket: there are
     only 65,536 values per chunk index, so at crawl scale hot chunk
@@ -367,9 +370,6 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
     pair blowup -- the same hazard and the same remedy as
     `lsh_candidate_pairs`. Dropped blocks are observable via
     `simhash_oversized_blocks` and should be routed to exact dedup."""
-    hashed = docs_df.select(
-        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
-    ).cache()
     chunks = _simhash_blocks(hashed, id_col)
     if max_bucket_size:
         sizes = Window.partitionBy("chunk_idx", "chunk_val")
@@ -395,3 +395,15 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
+                            text_col="text", max_bucket_size=1000):
+    """SimHash near-dup over raw text: 64-bit FNV simhash UDF, then the
+    blocked pair stage (simhash_pairs_from_hashes)."""
+    hashed = docs_df.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    ).cache()
+    return simhash_pairs_from_hashes(
+        hashed, max_hamming, id_col, max_bucket_size
+    )
