@@ -48,12 +48,14 @@ spark = get_spark(app_name="scaling-%d" % cores, cores=cores,
 spark.sparkContext.setLogLevel("ERROR")
 
 # deterministic heavy corpus, generated AND cached distributed (the
-# driver never holds it). ONE task per core: pyspark pays a measured
-# ~0.3-0.5 s of Python-worker CPU PER TASK (UDF re-deserialization in
-# the reused worker), so 4x tasks per core costs ~1.5 s/core of pure
-# overhead -- with 250 docs/task the per-task size variance averages
-# out and stragglers are not a factor (measured cores-busy parity with
-# the bare-multiprocessing control).
+# driver never holds it). ONE task per core: pyspark 4.1 pays a
+# measured ~0.28 s of Python-worker CPU PER TASK even in warm reused
+# workers (~0.18 s generic worker-loop machinery -- present for plain
+# row UDFs too -- plus ~0.10 s on the Arrow/pandas serializer path;
+# data-independent; NOT gc [4 ms warm], NOT unpickling [<1 ms]), so 4x
+# tasks per core costs ~1.1 s/core of pure overhead. With 250 docs/task
+# the per-task size variance averages out and stragglers are not a
+# factor (measured cores-busy parity with the bare-mp control).
 pages = build_big_pages_df(
     spark, {n_pages}, n_partitions=cores, section_scale={section_scale}
 ).cache()
