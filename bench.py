@@ -35,8 +35,12 @@ def _build_queries(spark, sf_dir):
     from sift_spark.operators.textstats import text_profile
     from sift_spark.sources.fixtures import pages_from_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf* parquet files are single small files -> one scan partition;
+    # spread once at load so narrow map stages (shingle explode, UDFs)
+    # parallelize. Real crawl inputs arrive pre-split across many files.
+    par = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(par)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(par)
     pages = pages_from_documents(spark, sf_dir)
 
     extract_params = SiftParams(counting_method=WORDS, max_units=200)
