@@ -26,3 +26,66 @@ def test_stream_extract_available_now(spark, tmp_path):
     out = spark.read.parquet(output_dir)
     assert out.count() == 6
     assert out.filter(F.col("error").isNull()).count() == 6
+
+
+def test_stream_exact_dedup_drops_in_horizon_dups(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from sift_spark.sources.fixtures import PAGES_SCHEMA
+    from sift_spark.streaming.incremental import stream_exact_dedup
+
+    t0 = datetime(2025, 6, 1, 12, 0, 0)
+    page = "<html><body><p>same content</p></body></html>"
+    other = "<html><body><p>different content</p></body></html>"
+    rows = [
+        (f"http://a.example/{i}", t0 + timedelta(minutes=i),
+         (page if i in (0, 3, 4) else other + str(i)).encode(),
+         None, "en")
+        for i in range(6)
+    ]
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(input_dir)
+
+    query = stream_exact_dedup(
+        spark, input_dir, output_dir, str(tmp_path / "ckpt"),
+        watermark="1 hour",
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    out = spark.read.parquet(output_dir)
+    # rows 3 and 4 duplicate row 0's content within the horizon -> dropped
+    assert out.count() == 4
+    assert out.select("content_hash").distinct().count() == 4
+
+
+def test_stream_host_rates_windows_close_at_watermark(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from sift_spark.sources.fixtures import PAGES_SCHEMA
+    from sift_spark.streaming.incremental import stream_host_rates
+
+    t0 = datetime(2025, 6, 1, 12, 0, 0)
+    rows = []
+    for m in range(0, 30, 2):  # events every 2 minutes over 30 minutes
+        host = "a.example" if m % 4 == 0 else "b.example"
+        rows.append((f"http://{host}/p{m}", t0 + timedelta(minutes=m),
+                     b"<html><body>x</body></html>", None, "en"))
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(input_dir)
+
+    query = stream_host_rates(
+        spark, input_dir, output_dir, str(tmp_path / "ckpt"),
+        window="5 minutes", watermark="10 minutes",
+    )
+    query.awaitTermination(120)
+    query.stop()
+
+    out = spark.read.parquet(output_dir).collect()
+    assert out  # at least the earliest windows closed and emitted
+    # first window [12:00, 12:05): events at 0,2,4 min -> a:2 (0,4), b:1 (2)
+    first = {r["host"]: r["n_pages"] for r in out
+             if r["win_start"] == t0}
+    assert first == {"a.example": 2, "b.example": 1}
