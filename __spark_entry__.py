@@ -409,6 +409,21 @@ def _augmented_embeddings(spark, sf_dir):
     return emb.unionByName(planted)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-pruned ANN (k-means coarse quantizer, seeded; rows-only by
+    design -- the iterative fit is not SQL-reproducible; recall vs the
+    oracle-checked brute-force form is asserted in
+    tests/test_corpus_ops.py)."""
+    from sift_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    # nprobe = n_clusters: the driver query uses the degenerate form, so
+    # the brute-force SQL oracle applies EXACTLY (hash-checks the whole
+    # assign -> probe -> scan plumbing); pruned-probe recall is the unit
+    return ivf_cosine_topk(emb, query, k=10, n_clusters=16, nprobe=16)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     from sift_spark.operators.similarity import embedding_near_duplicates
 
@@ -649,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         # text analysis
@@ -749,6 +765,19 @@ def _lsh_ann_oracle():
         LIMIT 10
     """
 
+
+_ANN_BRUTE_SQL = """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+                WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 10
+"""
 
 _SIMHASH_MD5_SQL = """
             WITH toks AS (
@@ -1040,18 +1069,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(CAST(a.simhash AS BIGINT),
                                 CAST(b.simhash AS BIGINT))) <= 3
         """,
-        "ann_cosine_topk": """
-            WITH q AS (
-                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-                WHERE vec_id = 0
-            )
-            SELECT vec_id,
-                   round(list_cosine_similarity(
-                       CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
-            FROM embeddings, q
-            ORDER BY cosine DESC, vec_id ASC
-            LIMIT 10
-        """,
+        "ann_cosine_topk": _ANN_BRUTE_SQL,
+        # degenerate IVF (nprobe = n_clusters) must equal brute force --
+        # the shared oracle hash-checks the assign/probe/scan plumbing
+        "ann_ivf_topk": _ANN_BRUTE_SQL,
         "quality_profile": """
             WITH feat AS (
                 SELECT doc_id,

@@ -99,6 +99,54 @@ def lsh_cosine_topk(emb_df, query_vec, k=10, n_planes=8, seed=42,
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def ivf_build(emb_df, n_clusters=16, seed=42, id_col="vec_id",
+              vec_col="embedding"):
+    """IVF index build: k-means coarse quantizer (pyspark.ml, seeded ->
+    deterministic) assigns every vector to its nearest centroid.
+    Returns (assigned_df with a `cluster` column, centers list).
+
+    At 100 TB this is the classic two-stage ANN: the index build is one
+    ML fit over a SAMPLE (k-means converges on a fraction of the data --
+    pass emb_df.sample(...) for the fit corpus at scale), assignment is
+    a narrow map, and queries scan only nprobe clusters."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    with_vec = emb_df.withColumn(
+        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_fv").fit(with_vec)
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = (
+        model.transform(with_vec)
+        .withColumnRenamed("prediction", "cluster")
+        .drop("_fv")
+    )
+    return assigned, centers
+
+
+def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,
+                    seed=42, id_col="vec_id", vec_col="embedding"):
+    """IVF-pruned ANN: rank centroids by cosine to the query (driver-side
+    math over n_clusters small vectors), scan only the nprobe nearest
+    clusters, exact cosine within them. nprobe = n_clusters degenerates
+    to the exact brute-force scan (recall 1.0 by construction)."""
+    import math
+
+    assigned, centers = ivf_build(emb_df, n_clusters, seed, id_col, vec_col)
+    q = [float(v) for v in query_vec]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+
+    def cos(c):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(x * y for x, y in zip(c, q)) / (cn * qn)
+
+    ranked = sorted(range(len(centers)), key=lambda i: -cos(centers[i]))
+    probes = ranked[:nprobe]
+    pruned = assigned.filter(F.col("cluster").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_duplicates(emb_df, min_cosine=0.95, n_planes=10, seed=42,
                               id_col="vec_id", vec_col="embedding",
                               dim=None):

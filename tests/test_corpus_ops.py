@@ -347,3 +347,20 @@ def test_embedding_neardup_lsh_recall_on_planted(spark):
     want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
     assert want == {(i, i + 1000) for i in range(5)}
     assert got == want  # 100% recall on planted clones
+
+
+def test_ivf_topk_recall_and_exact_degenerate(spark, embeddings):
+    """IVF ANN: nprobe = n_clusters must reproduce brute force exactly;
+    a pruned probe keeps high recall on the top-10."""
+    from sift_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    query = list(embeddings.filter(F.col("vec_id") == 0).first()["embedding"])
+    brute = [r["vec_id"] for r in cosine_topk(embeddings, query, k=10).collect()]
+
+    full = [r["vec_id"] for r in ivf_cosine_topk(
+        embeddings, query, k=10, n_clusters=8, nprobe=8).collect()]
+    assert full == brute  # degenerate IVF == exact
+
+    pruned = {r["vec_id"] for r in ivf_cosine_topk(
+        embeddings, query, k=10, n_clusters=8, nprobe=3).collect()}
+    assert len(pruned & set(brute)) >= 7  # recall@10 >= 0.7 with 3/8 probes
