@@ -111,3 +111,91 @@ def stream_host_rates(spark, input_path, output_path, checkpoint_path,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(spark, input_path, output_path, checkpoint_path,
+                      gap="30 minutes", file_format="parquet"):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    event-time sessionization per user with a silence-gap close rule --
+    the streaming twin of the batch `sessionize` driver query.
+
+    Per-user state = (session_start_us, last_seen_us, n_events). An
+    event further than `gap` after last_seen closes the open session
+    (emitting a row) and starts a new one; a processing-time timeout
+    flushes sessions for users that stop sending. State is one tiny
+    tuple per ACTIVE user -- bounded, like all good streaming state."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+
+    def close_sessions(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n_events = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n_events],
+            })
+            return
+        start_us, last_us, n_events = (
+            state.get if state.exists else (None, None, 0)
+        )
+        closed = []
+        for pdf in pdf_iter:
+            for ts in sorted(pdf["ts"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if start_us is None:
+                    start_us, last_us, n_events = ts_us, ts_us, 1
+                elif ts_us - last_us > gap_us:
+                    closed.append((start_us, last_us, n_events))
+                    start_us, last_us, n_events = ts_us, ts_us, 1
+                else:
+                    last_us, n_events = ts_us, n_events + 1
+        state.update((start_us, last_us, n_events))
+        state.setTimeoutDuration(60 * 1000)
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us")
+                                  for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us")
+                                for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            })
+
+    events = (
+        spark.readStream.format(file_format)
+        .schema("event_id long, user_id long, event_type string, "
+                "ts timestamp, value double")
+        .load(input_path)
+    )
+    sessions = events.groupBy(F.col("user_id")).applyInPandasWithState(
+        close_sessions, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

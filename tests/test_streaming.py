@@ -89,3 +89,43 @@ def test_stream_host_rates_windows_close_at_watermark(spark, tmp_path):
     first = {r["host"]: r["n_pages"] for r in out
              if r["win_start"] == t0}
     assert first == {"a.example": 2, "b.example": 1}
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: a >30-min silence closes a
+    session; closed sessions are emitted with exact bounds and counts."""
+    from datetime import datetime, timedelta
+
+    from sift_spark.streaming.incremental import stream_sessionize
+
+    t0 = datetime(2025, 6, 1, 8, 0, 0)
+    rows = []
+    # user 1: two sessions (3 events, gap 2h, 2 events)
+    for i, minutes in enumerate([0, 5, 10, 130, 140]):
+        rows.append((i, 1, "click", t0 + timedelta(minutes=minutes), 1.0))
+    # user 2: one long session, never closed in-batch
+    for i, minutes in enumerate([0, 10, 20]):
+        rows.append((10 + i, 2, "view", t0 + timedelta(minutes=minutes), 2.0))
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double"
+    ).write.parquet(input_dir)
+
+    query = stream_sessionize(
+        spark, input_dir, output_dir, str(tmp_path / "ckpt"),
+        gap="30 minutes",
+    )
+    query.awaitTermination(180)
+    query.stop()
+
+    out = spark.read.parquet(output_dir).collect()
+    # only user 1's FIRST session closed inside the batch (the second and
+    # user 2's stay open in state until the processing-time timeout)
+    sessions = {(r["user_id"], r["n_events"]) for r in out}
+    assert (1, 3) in sessions
+    first = [r for r in out if r["user_id"] == 1 and r["n_events"] == 3][0]
+    assert first["session_start"] == t0
+    assert first["session_end"] == t0 + timedelta(minutes=10)
