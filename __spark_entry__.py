@@ -619,6 +619,32 @@ def _q_tpch_pricing_summary(spark, sf_dir):
     )
 
 
+def _q_tpch_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (adapted to the synthetic schema: o_orderpriority
+    stands in for o_shippriority): three-table join, filtered both
+    sides, grouped revenue, deterministic top-10."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1995-06-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-06-15"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
+                 F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_orders_by_nation(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -681,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_sources": _q_combine_sources,
         # general engine sanity (joins/aggs)
         "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "tpch_shipping_priority": _q_tpch_shipping_priority,
         "orders_by_nation": _q_orders_by_nation,
     }
 
@@ -1179,6 +1206,20 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) / 10000.0 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-06-15'
+              AND l_shipdate > DATE '1995-06-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
         """,
         "orders_by_nation": """
             SELECT n_name, count(*) AS n_orders,
