@@ -105,3 +105,35 @@ def test_topk_is_take_ordered(spark):
     plan = plan_of(cosine_topk(emb, [1.0, 0.0], k=5))
     # per-partition top-k + driver merge, never a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_neardup_pipelines_avoid_cartesian_products(spark):
+    """Every near-dup pair generator must join on a blocking/bucket key;
+    a CartesianProduct or BroadcastNestedLoopJoin in the plan means the
+    O(n^2) form leaked in and the operator dies at crawl scale."""
+    from sift_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_pairs_from_hashes,
+    )
+    from sift_spark.operators.similarity import embedding_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    hashed = spark.createDataFrame(
+        [(1, 12345), (2, 12349)], "doc_id long, simhash long"
+    )
+    plans = {
+        "minhash": plan_of(minhash_near_duplicates(docs, n_hashes=16,
+                                                   n_bands=4)),
+        "simhash": plan_of(simhash_pairs_from_hashes(hashed)),
+        "embedding": plan_of(embedding_near_duplicates(emb, dim=2)),
+    }
+    for name, plan in plans.items():
+        assert count_nodes(plan, "CartesianProduct") == 0, name
+        assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0, name
