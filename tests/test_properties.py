@@ -93,3 +93,22 @@ def test_stem_output_sane(word):
     assert isinstance(result, str)
     assert len(result) <= len(word) + 1  # at most one char added ('e')
     assert result == result.lower()
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_fallback_tokenizer_spans_partition_any_text(text):
+    """The fallback tokenizer's spans must partition EVERY input exactly
+    (decode(encode[:k]) is a strict prefix -- the invariant
+    CreatePartialText budgeting depends on), and the count must be
+    positive iff the text is non-empty."""
+    from sift_spark.core.counters import FallbackTokenizer
+
+    tok = FallbackTokenizer()
+    spans = tok.encode_spans(text)
+    assert "".join(spans) == text
+    assert all(spans), "no empty spans"
+    assert tok.count(text) == len(spans) if text else tok.count(text) == 0
+    if spans:
+        prefix = tok.partial(text, max(1, len(spans) // 2))
+        assert text.startswith(prefix)
