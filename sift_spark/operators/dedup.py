@@ -53,10 +53,18 @@ def dedup_exact(docs_df, id_col="doc_id", text_col="text"):
 
 
 def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
-                  sample_mod=None):
+                  sample_mod=None, distinct=True):
     """(id, shingle) via native sequence+substring explode -- no UDF.
     sample_mod=s keeps only shingles with pmod(xxhash64(shingle), s)=0
-    (hash-deterministic sampling for the 100 TB tier)."""
+    (hash-deterministic sampling for the 100 TB tier).
+
+    distinct=True gives SET semantics (needed for exact Jaccard);
+    distinct=False keeps the raw multiset AND the narrow plan -- no
+    shuffle at all. Min-hash is multiset-invariant (min over duplicates
+    is unchanged), so the signature branch uses distinct=False: at crawl
+    scale the global distinct of the shingle table is the single
+    biggest shuffle in the dedup pipeline and the signatures never
+    needed it."""
     # materialize the normalized text ONCE per row: referencing the
     # expression inside the transform lambda would re-evaluate the
     # regexp_replace per array element (~doc_len regex calls per doc)
@@ -72,7 +80,9 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
         F.explode(
             F.transform(positions, lambda i: t.substr(i, F.lit(k)))
         ).alias("shingle"),
-    ).distinct()
+    )
+    if distinct:
+        shingles = shingles.distinct()
     if sample_mod:
         shingles = shingles.filter(
             F.pmod(F.xxhash64("shingle"), F.lit(sample_mod)) == 0
@@ -265,22 +275,28 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join -> exact-jaccard verify.
 
-    The shingle table feeds BOTH the signature branch and the verify
-    branch. persist_shingles trades block-store IO for recompute;
-    measured at sf0.1/local[32]: recompute wins (6.9s vs 9.2s) because
-    the band exchange is reused -- knob stays off by default.
-    max_bucket_size defaults ON (1000): steady-state cost is a wash at
-    small scale (6.5s capped vs 6.9s uncapped at sf0.1) and it is the
+    Two branches off the shingle explode: the SIGNATURE branch uses the
+    raw multiset (min-hash is multiset-invariant) so it is explode ->
+    map-side partial min-agg with NO distinct shuffle -- at crawl scale
+    that distinct is the pipeline's biggest shuffle and the signatures
+    never needed it. The VERIFY branch (exact Jaccard) keeps set
+    semantics via its own distinct, paid only once.
+
+    persist_shingles trades block-store IO for recompute; measured at
+    sf0.1/local[32]: recompute wins (the explode is narrow and cheap) --
+    knob stays off by default. max_bucket_size defaults ON (1000): the
     guard that keeps hot boilerplate buckets from exploding
     quadratically at crawl scale."""
-    shingles = char_shingles(docs_df, k, id_col, text_col, sample_mod)
+    raw = char_shingles(docs_df, k, id_col, text_col, sample_mod,
+                        distinct=False)
+    shingle_sets = char_shingles(docs_df, k, id_col, text_col, sample_mod)
     if persist_shingles:
-        shingles = shingles.persist()
-    sigs = minhash_signatures(shingles, n_hashes, id_col, portable_hash)
+        shingle_sets = shingle_sets.persist()
+    sigs = minhash_signatures(raw, n_hashes, id_col, portable_hash)
     candidates = lsh_candidate_pairs(
         sigs, n_bands, id_col, max_bucket_size, n_hashes=n_hashes
     )
-    return jaccard_pairs(shingles, id_col, min_jaccard, candidates)
+    return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
 
 
 # ---- simhash -----------------------------------------------------------------------
