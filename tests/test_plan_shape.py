@@ -137,3 +137,19 @@ def test_neardup_pipelines_avoid_cartesian_products(spark):
     for name, plan in plans.items():
         assert count_nodes(plan, "CartesianProduct") == 0, name
         assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0, name
+
+
+def test_minhash_signature_branch_single_shuffle(spark):
+    """Signatures come from the raw shingle multiset: explode -> map-side
+    partial min-agg -> ONE exchange on the id. A distinct creeping back
+    in would add a full shuffle of the shingle table -- the biggest data
+    volume in the dedup pipeline at crawl scale."""
+    from sift_spark.operators.dedup import char_shingles, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    plan = plan_of(
+        minhash_signatures(char_shingles(docs, distinct=False), n_hashes=8)
+    )
+    assert count_nodes(plan, "Exchange") == 1
