@@ -248,8 +248,8 @@ bytes: {" / ".join(f"`{r['digest']}`" for r in spark_runs)}).
 
 Reference baseline: the reference publishes no throughput numbers
 (BASELINE.md); these are the engine's own recorded numbers. Kernel
-cost: ~9.7 ms/doc single-thread at ~25 KB pages (parse + readability +
-markdown + budget), ≈ 2.1 MB/s/core HTML-in.
+cost: ~5.5 ms/doc single-thread at ~25 KB pages (parse + readability +
+markdown + budget), ≈ 3.8 MB/s/core HTML-in (round 2: clone-free sibling merge, one-pass link-density tables; was 9.7 ms/doc).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")

@@ -86,14 +86,60 @@ def _class_weight(node):
     return weight
 
 
-def _link_density(node):
+def _link_density(node, tables=None):
     # raw text lengths on both sides of the ratio: same semantics as the
     # collapsed-text ratio to within whitespace noise, no regex cost
+    if tables is not None:
+        text_tbl, link_tbl = tables
+        total = text_tbl.get(id(node), 0)
+        if total == 0:
+            return 0.0
+        return min(1.0, link_tbl.get(id(node), 0) / total)
     total = node.text_len()
     if total == 0:
         return 0.0
     link_len = sum(a.text_len() for a in node.find_all({"a"}))
     return min(1.0, link_len / total)
+
+
+def _density_tables(root):
+    """One post-order pass computing, per node id:
+      text_tbl: raw text length excluding script/style subtrees
+        (== Node.text_len)
+      link_tbl: sum of text_len over DESCENDANT <a> elements
+        (== sum(a.text_len() for a in node.find_all({'a'})), including
+        the double-count of nested anchors that the find_all sum
+        produces)
+    Candidates are overlapping ancestors, so per-candidate subtree walks
+    are O(n * depth); this is O(n) total."""
+    text_tbl, link_tbl = {}, {}
+    stack = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if node.tag in ("script", "style"):
+            text_tbl[id(node)] = 0
+            link_tbl[id(node)] = 0
+            continue
+        if node.tag is None:
+            text_tbl[id(node)] = len(node.text)
+            link_tbl[id(node)] = 0
+            continue
+        if not done:
+            stack.append((node, True))
+            stack.extend((child, False) for child in node.children)
+            continue
+        total = 0
+        link = 0
+        for child in node.children:
+            child_total = text_tbl[id(child)]
+            total += child_total
+            # link contribution INCLUDING the child itself if it is <a>
+            link += link_tbl[id(child)] + (
+                child_total if child.tag == "a" else 0
+            )
+        text_tbl[id(node)] = total
+        link_tbl[id(node)] = link
+    return text_tbl, link_tbl
 
 
 def _is_unlikely(node):
@@ -152,10 +198,12 @@ def extract_article(root):
         # no scorable paragraphs: fall back to the whole body content
         return work if work.inner_text() else None
 
+    density_tables = _density_tables(work)
+
     # scale by (1 - link density) and pick the top candidate
     best_key, best_score = None, float("-inf")
     for key, raw in scores.items():
-        final = raw * (1.0 - _link_density(nodes[key]))
+        final = raw * (1.0 - _link_density(nodes[key], density_tables))
         scores[key] = final
         if final > best_score:
             best_key, best_score = key, final
@@ -203,7 +251,7 @@ def extract_article(root):
                 keep = True
             elif sibling.tag == "p":
                 text = sibling.inner_text()
-                density = _link_density(sibling)
+                density = _link_density(sibling, density_tables)
                 if len(text) > 80 and density < 0.25:
                     keep = True
                 elif 0 < len(text) <= 80 and density == 0 and re.search(
@@ -211,7 +259,12 @@ def extract_article(root):
                 ):
                     keep = True
         if keep:
-            container.append(sibling.clone())
+            # re-parent the original: each sibling is visited once, the
+            # source tree is single-use (parsed per document, discarded
+            # after selection), and append() does not mutate the old
+            # child list -- so the deep clone (measured ~10% of kernel
+            # time on section-heavy pages) buys nothing
+            container.append(sibling)
 
     if not container.children:
         return None
