@@ -296,6 +296,16 @@ def _q_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(shingles, min_jaccard=0.2)
 
 
+def _q_ngram_jaccard_words(spark, sf_dir):
+    """Word-trigram Jaccard (the word_ngrams operator; all-pairs
+    fallback form -- candidate anchoring is the scale path, exercised by
+    minhash_neardup)."""
+    from sift_spark.operators.dedup import jaccard_pairs, word_ngrams
+
+    grams = word_ngrams(_docs(spark, sf_dir), n=3)
+    return jaccard_pairs(grams, min_jaccard=0.3, shingle_col="ngram")
+
+
 def _q_minhash_neardup(spark, sf_dir):
     from sift_spark.operators.dedup import minhash_near_duplicates
 
@@ -683,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_jaccard_words": _q_ngram_jaccard_words,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_neardup_md5": _q_minhash_neardup_md5,
         "simhash": _q_simhash,
@@ -1032,6 +1043,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(n_common::DOUBLE /
                   (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.2
+        """,
+        "ngram_jaccard_words": """
+            WITH norm AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                    ' '), w -> w <> '') AS ws
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i:i+2], ' ') AS ngram
+                FROM (
+                    SELECT doc_id, ws,
+                           unnest(generate_series(1,
+                               greatest(len(ws) - 2, 1))) AS i
+                    FROM norm
+                )
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+            ),
+            common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM grams a JOIN grams b
+                  ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6)
+                  >= 0.3
         """,
         "minhash_neardup_md5": """
             WITH norm AS (
