@@ -26,9 +26,20 @@ def get_spark(
 ):
     master = f"local[{cores}]" if cores else "local[*]"
     shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    # local mode runs driver+executor in ONE JVM whose heap defaults to
+    # 1g regardless of box size -- a quadratic-ish stage (e.g. the
+    # all-pairs jaccard fallback at sf0.1) dies on OOM long before the
+    # machine is stressed. 8g measured best on this box: 1g OOMs the
+    # heavy joins, 48g is 3-5x SLOWER on the whole suite (GC pathology
+    # on the big heap) and 2.3x slower on the heavy join itself. Must be
+    # set before the JVM launches; ignored by getOrCreate on a live
+    # context.
+    driver_mem = os.environ.get("SIFT_SPARK_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
