@@ -213,7 +213,14 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
                   candidates=None, shingle_col="shingle"):
     """Exact n-gram Jaccard between documents sharing at least one
     shingle/ngram (optionally restricted to LSH candidates):
-    (id_a, id_b, n_common, jaccard)."""
+    (id_a, id_b, n_common, jaccard).
+
+    candidates=None is the small-data/diagnostic form: the shingle
+    self-join is quadratic in the hottest shingle's document frequency
+    (measured: minutes + gigabytes at a mere 5000 docs with 8-char
+    shingles). Production near-dup ALWAYS goes through
+    minhash_near_duplicates, which anchors this verify step on LSH
+    candidate pairs."""
     if shingle_col != "shingle":
         shingles_df = shingles_df.withColumnRenamed(shingle_col, "shingle")
     sizes = shingles_df.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
