@@ -84,3 +84,17 @@ def test_matches_core_bytes(html_file):
     )
     assert error is None
     assert proc.stdout == expected
+
+
+def test_token_mode_warns_about_fallback(html_file):
+    """Default mode is tokens/2500 (main.go:52-55); without the real
+    cl100k vocab the CLI must tell the user budgets come from the
+    deterministic fallback tokenizer."""
+    proc = run_cli([html_file])  # default: token counting
+    assert proc.returncode == 0
+    assert "deterministic fallback tokenizer" in proc.stderr
+    assert "SIFT_SPARK_CL100K_PATH" in proc.stderr
+
+    # word mode must NOT warn
+    proc_w = run_cli([html_file, "-w", "50", "-q"])
+    assert "fallback tokenizer" not in proc_w.stderr
