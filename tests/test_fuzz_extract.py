@@ -50,3 +50,39 @@ def test_unicode_robustness(html):
     text, error = run_sift(html, SiftParams(counting_method=WORDS,
                                             max_units=10))
     assert isinstance(text, str)
+
+
+@given(html_ish)
+@settings(max_examples=150, deadline=None)
+def test_density_tables_match_naive_walk(html):
+    """The one-pass link-density tables must agree with the naive
+    per-node subtree walk on EVERY node of arbitrary trees (including
+    nested <a>, script/style exclusion, text-only fragments)."""
+    from sift_spark.core import htmlparser
+    from sift_spark.core.readability import _density_tables, _link_density
+
+    root = htmlparser.parse(html)
+    tables = _density_tables(root)
+    for node in root.iter_elements():
+        assert _link_density(node, tables) == _link_density(node), html
+
+
+def test_density_tables_nested_anchor_semantics():
+    """Nested <a> double-counts in the naive find_all sum; the tables
+    must reproduce that exactly (plus script/style exclusion)."""
+    from sift_spark.core import htmlparser
+    from sift_spark.core.readability import _density_tables, _link_density
+
+    html = ('<html><body><div id="x">plain text '
+            '<a href="/">outer <a href="/in">inner</a> tail</a>'
+            '<script>var x = "ignored";</script>'
+            '<p>para <a href="/p">link</a></p></div></body></html>')
+    root = htmlparser.parse(html)
+    tables = _density_tables(root)
+    checked = 0
+    for node in root.iter_elements():
+        assert _link_density(node, tables) == _link_density(node), node.tag
+        checked += 1
+    assert checked >= 6
+    div = [n for n in root.iter_elements() if n.attr("id") == "x"][0]
+    assert 0.0 < _link_density(div, tables) <= 1.0
