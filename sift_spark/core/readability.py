@@ -91,10 +91,15 @@ def _link_density(node, tables=None):
     # collapsed-text ratio to within whitespace noise, no regex cost
     if tables is not None:
         text_tbl, link_tbl = tables
-        total = text_tbl.get(id(node), 0)
-        if total == 0:
-            return 0.0
-        return min(1.0, link_tbl.get(id(node), 0) / total)
+        key = id(node)
+        if key in text_tbl:
+            total = text_tbl[key]
+            if total == 0:
+                return 0.0
+            return min(1.0, link_tbl.get(key, 0) / total)
+        # node outside the tabled subtree (ancestor above <body>, e.g.
+        # <html>): fall through to the live computation so it does NOT
+        # silently get density 0.0 and escape the penalty
     total = node.text_len()
     if total == 0:
         return 0.0
@@ -156,9 +161,10 @@ def _is_unlikely(node):
 def extract_article(root):
     """Return the extracted article subtree (a Node), or None.
 
-    MUTATES the parsed tree (noise stripping); callers parse fresh per
+    MUTATES the parsed tree (noise stripping + re-parenting the winning
+    candidate and merged siblings out of it); callers parse fresh per
     document, so no defensive whole-tree clone is paid. The returned
-    subtree contains clones of the winning candidate + siblings.
+    subtree holds the detached originals, not clones.
     """
     body = _find_body(root)
     if body is None:
@@ -234,7 +240,8 @@ def extract_article(root):
     top_score = scores.get(id(top), best_score)
     sibling_threshold = max(SIBLING_SCORE_FLOOR, top_score * SIBLING_SCORE_RATIO)
     parent = top.parent
-    siblings = parent.children if parent is not None else [top]
+    siblings = list(parent.children) if parent is not None else [top]
+    kept = []
     for sibling in siblings:
         if sibling.tag is None:
             continue
@@ -259,12 +266,13 @@ def extract_article(root):
                 ):
                     keep = True
         if keep:
-            # re-parent the original: each sibling is visited once, the
-            # source tree is single-use (parsed per document, discarded
-            # after selection), and append() does not mutate the old
-            # child list -- so the deep clone (measured ~10% of kernel
-            # time on section-heavy pages) buys nothing
-            container.append(sibling)
+            kept.append(sibling)
+    # re-parent the originals (no deep clone -- the source tree is
+    # single-use, parsed per document); detach first so the old parent's
+    # child list stays consistent with sibling.parent
+    for sibling in kept:
+        sibling.detach()
+        container.append(sibling)
 
     if not container.children:
         return None

@@ -101,3 +101,44 @@ def test_empty_body_yields_empty():
     text, error = to_markdown("<html><body></body></html>")
     assert error is None
     assert text.strip() == ""
+
+
+# Regression: candidates ABOVE <body> (notably <html>) are not covered by
+# the one-pass density tables built over the body subtree. They must fall
+# back to the live link-density computation instead of defaulting to 0.0,
+# otherwise a link-heavy page lets <html> escape the penalty, win the
+# candidate race, and pull <head>/<title> text into the article.
+LINK_HEAVY_PAGE = (
+    "<html><head><title>LEAKED TITLE TEXT</title></head><body>\n<div>\n"
+    " <p>Pick a topic, any topic, from the long directory listing below.\n"
+    + "".join(
+        ' <a href="/x%d">one, two, three, four, five, six words in a long'
+        " anchor</a>\n" % i
+        for i in range(16)
+    )
+    + " </p>\n</div>\n</body></html>"
+)
+
+
+def test_html_ancestor_does_not_escape_link_density():
+    from sift_spark.core.htmlparser import parse
+    from sift_spark.core.readability import extract_article
+
+    article = extract_article(parse(LINK_HEAVY_PAGE))
+    assert article is not None
+    assert article.tag != "html"
+    assert "LEAKED TITLE TEXT" not in article.inner_text()
+
+
+def test_sibling_merge_detaches_from_source_tree():
+    from sift_spark.core.htmlparser import parse
+    from sift_spark.core.readability import extract_article
+
+    root = parse(NEWS_PAGE)
+    article = extract_article(root)
+    assert article is not None
+    # every node re-parented into the article must be unlinked from its
+    # old parent: walking the ORIGINAL tree must not reach article nodes
+    article_ids = {id(n) for n in article.iter()}
+    for node in root.iter():
+        assert id(node) not in article_ids, (node.tag, node.attrs)
