@@ -837,9 +837,12 @@ _SIMHASH_MD5_SQL = """
                 GROUP BY doc_id, b.range
             )
             SELECT doc_id,
-                   sum(CASE WHEN acc > 0
+                   -- DuckDB sum(BIGINT) returns HUGEINT which pandas
+                   -- renders as float64 (values > 2^53 lose low bits);
+                   -- cast back so the gate compares int64 vs int64
+                   CAST(sum(CASE WHEN acc > 0
                        THEN (1::BIGINT << CAST(bit AS INTEGER))
-                       ELSE 0 END) AS simhash
+                       ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
 """
 
@@ -999,7 +1002,9 @@ def oracle_sql() -> dict[str, str]:
                             ) > 1800000000 THEN 1 ELSE 0 END AS new_session
                 FROM events
             )
-            SELECT user_id, sum(new_session) + 1 AS n_sessions,
+            SELECT user_id,
+                   -- HUGEINT sum -> float64 in pandas; cast for the gate
+                   CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM gapped GROUP BY user_id
         """,

@@ -120,16 +120,24 @@ def winnowing_fingerprints(docs_df, k=8, window=4, id_col="doc_id",
     """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
     keep the min hash of each sliding window -> (id, fingerprint) set.
     Native: shingle explode + floor-window min aggregation."""
+    # materialize the normalized text ONCE per row before the per-position
+    # transform: referencing the regexp_replace expression inside the
+    # lambda re-evaluates it for every gram position (O(doc_len^2) regex
+    # work per doc) -- same hazard fixed in dedup.char_shingles
     normalized = F.trim(
         F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     )
+    norm_docs = docs_df.select(F.col(id_col), normalized.alias("_t"))
     positions = F.sequence(
-        F.lit(1), F.greatest(F.length(normalized) - (k - 1), F.lit(1))
+        F.lit(1), F.greatest(F.length("_t") - (k - 1), F.lit(1))
     )
-    grams = docs_df.select(
+    grams = norm_docs.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(positions, lambda i: F.xxhash64(normalized.substr(i, F.lit(k))))
+            F.transform(
+                positions,
+                lambda i: F.xxhash64(F.col("_t").substr(i, F.lit(k))),
+            )
         ).alias("pos", "gram_hash"),
     )
     return (
