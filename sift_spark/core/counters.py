@@ -44,15 +44,18 @@ CHARS = "chars"
 # driver gate hash-check the real encoder (token_counts_fallback).
 # Every character is covered by some branch, so the matches partition
 # the input (span-preserving: decode(encode[:k]) is an exact prefix).
+# whitespace is the EXPLICIT class [ \t\r\n\f], not \s: Python re.ASCII
+# \s includes \x0b (vertical tab) but RE2's \s does not, so \s-based
+# branches tokenize 'a \x0b b' differently across engines. \x0b now
+# consistently falls to the punctuation branch in all three engines.
 FALLBACK_PATTERN = (
     r"'(?i:[sdmt]|ll|ve|re)"
     r"|[A-Za-z]+"
     r"|[0-9]{1,3}"
-    r"| ?[^\sA-Za-z0-9]+[\r\n]*"
-    r"|\s*[\r\n]"
-    r"|\s+"
+    r"| ?[^ \t\r\n\fA-Za-z0-9]+[\r\n]*"
+    r"|[ \t\r\n\f]*[\r\n]"
+    r"|[ \t\r\n\f]+"
 )
-# re.ASCII pins \s to the ASCII set Java regex and RE2 use by default
 _PRETOKEN_RE = re.compile(FALLBACK_PATTERN, re.ASCII)
 _FALLBACK_PIECE = 4  # chars per sub-token for long word pieces
 

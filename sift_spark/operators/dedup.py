@@ -19,6 +19,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Window
@@ -161,8 +163,74 @@ def _band_table(sig_df, n_bands, n_hashes, id_col):
     )
 
 
+def bucket_cap_observation(name="bucket_cap"):
+    """Fresh Observation for the bucket-cap metrics (an Observation can
+    be attached to exactly one DataFrame, so callers create one per
+    pipeline build)."""
+    from pyspark.sql import Observation
+
+    return Observation(name)
+
+
+def report_bucket_cap(observation, log=None):
+    """Read the cap metrics AFTER an action has run on the pipeline
+    (Observation.get blocks until the first action finishes) and warn
+    when the cap dropped anything -- the runtime signal that recall was
+    traded for the quadratic-blowup guard and the dropped groups should
+    be routed to exact dedup (see oversized_buckets /
+    simhash_oversized_blocks).
+
+    Returns the metrics dict, or None when the metrics are unavailable:
+    if the pipeline's FINAL result is empty, AQE's empty-relation
+    propagation replaces the whole subtree -- CollectMetrics included --
+    and the observation resolves to an empty row (measured on this
+    Spark version). In that case run the oversized_buckets /
+    simhash_oversized_blocks monitor for a guaranteed (extra-job)
+    answer."""
+    log = log or logging.getLogger(__name__)
+    try:
+        metrics = observation.get
+    except Exception:
+        jrow = observation._jo.getRow()
+        if jrow.size() == 0:
+            log.info(
+                "bucket-cap observation pruned (empty pipeline result "
+                "under AQE); run the oversized-buckets monitor for a "
+                "guaranteed answer"
+            )
+            return None
+        # schemaless but populated row: read positionally (alias order
+        # fixed in _observe_cap)
+        metrics = {
+            "n_dropped_rows": jrow.get(0),
+            "largest_bucket": jrow.get(1),
+        }
+    if metrics.get("n_dropped_rows"):
+        log.warning(
+            "bucket cap dropped %d banded rows (largest bucket: %d "
+            "members); route oversized buckets to exact dedup",
+            metrics["n_dropped_rows"], metrics["largest_bucket"],
+        )
+    return metrics
+
+
+def _observe_cap(df, observation, max_bucket_size):
+    """Attach n_dropped_rows / largest_bucket metrics to the banded table
+    (piggybacks on the downstream action; adds NO extra job)."""
+    if observation is None:
+        return df
+    return df.observe(
+        observation,
+        F.count_if(F.col("_bucket_n") > max_bucket_size).alias(
+            "n_dropped_rows"
+        ),
+        F.max("_bucket_n").alias("largest_bucket"),
+    )
+
+
 def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
-                        max_bucket_size=None, n_hashes=None):
+                        max_bucket_size=None, n_hashes=None,
+                        observation=None):
     """Band the signatures and equi-join on (band_idx, band_hash):
     returns candidate (id_a, id_b) pairs with id_a < id_b.
 
@@ -175,13 +243,22 @@ def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
     collapses identical content)."""
     n_hashes = _resolve_n_hashes(sig_df, n_hashes)
     bands = _band_table(sig_df, n_bands, n_hashes, id_col)
+    left = right = bands
     if max_bucket_size:
         sizes = Window.partitionBy("band_idx", "band_hash")
-        bands = bands.withColumn(
-            "_bucket_n", F.count("*").over(sizes)
-        ).filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
-    left = bands.alias("a")
-    right = bands.alias("b")
+        sized = bands.withColumn("_bucket_n", F.count("*").over(sizes))
+        capped = F.col("_bucket_n") <= max_bucket_size
+        # the pair stage self-joins the banded table; a CollectMetrics
+        # node duplicated into both join branches trips a plan assertion
+        # (duplicate metric name), so observe the LEFT branch only --
+        # each banded row passes it exactly once, counts stay exact
+        left = (
+            _observe_cap(sized, observation, max_bucket_size)
+            .filter(capped).drop("_bucket_n")
+        )
+        right = sized.filter(capped).drop("_bucket_n")
+    left = left.alias("a")
+    right = right.alias("b")
     return (
         left.join(
             right,
@@ -278,7 +355,7 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
                             min_jaccard=0.7, id_col="doc_id",
                             text_col="text", sample_mod=None,
                             persist_shingles=False, max_bucket_size=1000,
-                            portable_hash=False):
+                            portable_hash=False, observation=None):
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join -> exact-jaccard verify.
 
@@ -301,7 +378,8 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
         shingle_sets = shingle_sets.persist()
     sigs = minhash_signatures(raw, n_hashes, id_col, portable_hash)
     candidates = lsh_candidate_pairs(
-        sigs, n_bands, id_col, max_bucket_size, n_hashes=n_hashes
+        sigs, n_bands, id_col, max_bucket_size, n_hashes=n_hashes,
+        observation=observation,
     )
     return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
 
@@ -379,7 +457,7 @@ def simhash_oversized_blocks(docs_df, id_col="doc_id", text_col="text",
 
 
 def simhash_pairs_from_hashes(hashed, max_hamming=3, id_col="doc_id",
-                              max_bucket_size=1000):
+                              max_bucket_size=1000, observation=None):
     """Near-dup pairs from a (id, simhash) table: candidate blocking on
     16-bit chunks (pigeonhole: <= 3 differing bits of 64 guarantees one
     of the 4 chunks matches), then exact Hamming verify via bit_count
@@ -394,13 +472,19 @@ def simhash_pairs_from_hashes(hashed, max_hamming=3, id_col="doc_id",
     `lsh_candidate_pairs`. Dropped blocks are observable via
     `simhash_oversized_blocks` and should be routed to exact dedup."""
     chunks = _simhash_blocks(hashed, id_col)
+    left = right = chunks
     if max_bucket_size:
         sizes = Window.partitionBy("chunk_idx", "chunk_val")
-        chunks = chunks.withColumn(
-            "_bucket_n", F.count("*").over(sizes)
-        ).filter(F.col("_bucket_n") <= max_bucket_size).drop("_bucket_n")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+        sized = chunks.withColumn("_bucket_n", F.count("*").over(sizes))
+        capped = F.col("_bucket_n") <= max_bucket_size
+        # observe the LEFT join branch only (see lsh_candidate_pairs)
+        left = (
+            _observe_cap(sized, observation, max_bucket_size)
+            .filter(capped).drop("_bucket_n")
+        )
+        right = sized.filter(capped).drop("_bucket_n")
+    a = left.alias("a")
+    b = right.alias("b")
     pairs = (
         a.join(
             b,
@@ -421,12 +505,15 @@ def simhash_pairs_from_hashes(hashed, max_hamming=3, id_col="doc_id",
 
 
 def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
-                            text_col="text", max_bucket_size=1000):
+                            text_col="text", max_bucket_size=1000,
+                            observation=None):
     """SimHash near-dup over raw text: 64-bit FNV simhash UDF, then the
-    blocked pair stage (simhash_pairs_from_hashes)."""
+    blocked pair stage (simhash_pairs_from_hashes). Pass an
+    `observation` (bucket_cap_observation()) to get a runtime signal
+    when the cap drops hot blocks (report_bucket_cap after the action)."""
     hashed = docs_df.select(
         F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
     ).cache()
     return simhash_pairs_from_hashes(
-        hashed, max_hamming, id_col, max_bucket_size
+        hashed, max_hamming, id_col, max_bucket_size, observation
     )

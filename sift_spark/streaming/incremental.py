@@ -113,6 +113,30 @@ def stream_host_rates(spark, input_path, output_path, checkpoint_path,
     )
 
 
+def fold_session_events(start_us, last_us, n_events, ts_us_sorted, gap_us):
+    """Pure session-fold kernel shared by the streaming operator and its
+    unit tests: fold a batch-sorted list of event timestamps (us) into
+    the open session (start_us may be None for no open session).
+
+    Returns (closed_sessions, open_state). Timestamps are sorted within
+    a micro-batch only, so an event may precede last_us (cross-batch
+    late arrival): if it is within the gap it folds into the open
+    session WITHOUT moving the session end backwards (min/max), instead
+    of rewinding last_us and mis-splitting subsequent events."""
+    closed = []
+    for ts_us in ts_us_sorted:
+        if start_us is None:
+            start_us, last_us, n_events = ts_us, ts_us, 1
+        elif ts_us - last_us > gap_us:
+            closed.append((start_us, last_us, n_events))
+            start_us, last_us, n_events = ts_us, ts_us, 1
+        else:
+            start_us = min(start_us, ts_us)
+            last_us = max(last_us, ts_us)
+            n_events += 1
+    return closed, (start_us, last_us, n_events)
+
+
 def stream_sessionize(spark, input_path, output_path, checkpoint_path,
                       gap="30 minutes", file_format="parquet"):
     """Custom stateful streaming operator (applyInPandasWithState):
@@ -160,15 +184,16 @@ def stream_sessionize(spark, input_path, output_path, checkpoint_path,
         )
         closed = []
         for pdf in pdf_iter:
-            for ts in sorted(pdf["ts"]):
-                ts_us = int(pd.Timestamp(ts).value // 1000)
-                if start_us is None:
-                    start_us, last_us, n_events = ts_us, ts_us, 1
-                elif ts_us - last_us > gap_us:
-                    closed.append((start_us, last_us, n_events))
-                    start_us, last_us, n_events = ts_us, ts_us, 1
-                else:
-                    last_us, n_events = ts_us, n_events + 1
+            ts_us_sorted = [
+                int(pd.Timestamp(ts).value // 1000)
+                for ts in sorted(pdf["ts"])
+            ]
+            batch_closed, (start_us, last_us, n_events) = (
+                fold_session_events(
+                    start_us, last_us, n_events, ts_us_sorted, gap_us
+                )
+            )
+            closed.extend(batch_closed)
         state.update((start_us, last_us, n_events))
         state.setTimeoutDuration(60 * 1000)
         if closed:

@@ -114,6 +114,9 @@ def test_fallback_pattern_is_engine_portable():
         "line one\nline two\r\nthree", "café naïve",
         "trailing   ", "   leading", "emoji \U0001f44b x  nbsp",
         "supercalifragilisticexpialidocious", "!!!???...", "", "x",
+        # \x0b (vertical tab): Python re.ASCII \s includes it, RE2 \s does
+        # not -- the pattern uses explicit classes so all engines agree
+        "a \x0b b", "\x0b", "x\x0b\x0by", "tab\tvt\x0bff\x0cend",
     ]
     for text in cases:
         assert "".join(tok.encode_spans(text)) == text  # spans partition

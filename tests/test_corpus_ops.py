@@ -310,6 +310,66 @@ def test_simhash_bucket_cap_drops_hot_blocks(spark):
     assert hot.agg({"n_members": "max"}).first()[0] == 20
 
 
+def test_bucket_cap_observation_signals_drops(spark, caplog):
+    """The default-on cap must not be a SILENT recall loss: attaching a
+    bucket_cap_observation records how many banded rows the cap removed
+    (piggybacking on the action -- no extra job), and report_bucket_cap
+    logs a warning when anything was dropped. When the pipeline result
+    is EMPTY, AQE empty-relation propagation prunes CollectMetrics with
+    the rest of the subtree -- report then returns None and points at
+    the oversized-buckets monitor instead of crashing."""
+    import logging
+
+    from sift_spark.operators.dedup import (
+        bucket_cap_observation,
+        minhash_near_duplicates,
+        report_bucket_cap,
+        simhash_near_duplicates,
+    )
+
+    same = "identical boilerplate page content repeated across the crawl"
+    near1 = "the quick brown fox jumps over a lazy dog near the riverbank today"
+    near2 = "the quick brown fox jumps over a lazy dog near the riverbank again"
+    rows = ([(i, same) for i in range(20)]
+            + [(100, near1), (101, near2)])
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # non-empty result (the near-pair survives): metrics flow
+    obs = bucket_cap_observation("minhash_cap")
+    assert minhash_near_duplicates(
+        df, max_bucket_size=10, min_jaccard=0.5, observation=obs
+    ).count() == 1
+    with caplog.at_level(logging.WARNING, logger="sift_spark.operators.dedup"):
+        metrics = report_bucket_cap(obs)
+    assert metrics["n_dropped_rows"] > 0
+    assert metrics["largest_bucket"] == 20
+    assert any("bucket cap dropped" in r.message for r in caplog.records)
+
+    caplog.clear()
+    pair = "two exactly identical docs form a small bucket under the cap"
+    df2 = df.union(
+        spark.createDataFrame([(200, pair), (201, pair)], ["doc_id", "text"])
+    )
+    obs2 = bucket_cap_observation("simhash_cap")
+    assert simhash_near_duplicates(
+        df2, max_bucket_size=10, observation=obs2
+    ).count() == 1  # the identical pair (hamming 0) survives the cap
+    metrics2 = report_bucket_cap(obs2)
+    assert metrics2["n_dropped_rows"] == 20 * 4  # 4 chunks per identical doc
+    assert metrics2["largest_bucket"] == 20
+
+    # EMPTY result: AQE prunes the observation -> graceful None
+    caplog.clear()
+    obs3 = bucket_cap_observation("pruned_cap")
+    assert minhash_near_duplicates(
+        df.filter("doc_id < 95"), max_bucket_size=10, observation=obs3
+    ).count() == 0
+    with caplog.at_level(logging.INFO, logger="sift_spark.operators.dedup"):
+        m3 = report_bucket_cap(obs3)
+    assert m3 is None
+    assert any("pruned" in r.message for r in caplog.records)
+
+
 def test_embedding_neardup_lsh_recall_on_planted(spark):
     """LSH near-dup must recover every planted near-duplicate the exact
     all-pairs baseline finds at the same threshold (scaled clones share

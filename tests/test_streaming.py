@@ -129,3 +129,35 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     first = [r for r in out if r["user_id"] == 1 and r["n_events"] == 3][0]
     assert first["session_start"] == t0
     assert first["session_end"] == t0 + timedelta(minutes=10)
+
+
+def test_sessionize_fold_late_event_does_not_rewind_session_end():
+    """Cross-batch late arrival: timestamps are sorted per micro-batch
+    only, so a later batch can deliver ts < last_seen. The fold kernel
+    must merge it into the open session via min/max instead of rewinding
+    last_seen (regression: rewinding made the next event look > gap away
+    and mis-split it into a spurious session)."""
+    from sift_spark.streaming.incremental import fold_session_events
+
+    MIN = 60_000_000  # one minute in microseconds
+    gap = 30 * MIN
+
+    # batch 1: events at 0 and 25min -> open session [0, 25], 2 events
+    closed, state = fold_session_events(None, None, 0, [0, 25 * MIN], gap)
+    assert closed == [] and state == (0, 25 * MIN, 2)
+
+    # batch 2 (sorted within batch): late 10min, then 45min, then 120min.
+    # With the fix last stays 25 -> 45 is 20min away (within gap) -> the
+    # 4-event session [0, 45] closes when 120 arrives. Pre-fix, last was
+    # rewound to 10 -> 45 looked 35min away and split spuriously.
+    closed, state = fold_session_events(
+        *state, [10 * MIN, 45 * MIN, 120 * MIN], gap
+    )
+    assert closed == [(0, 45 * MIN, 4)]
+    assert state == (120 * MIN, 120 * MIN, 1)
+
+    # an event older than session start extends the session backwards
+    closed, state = fold_session_events(
+        10 * MIN, 20 * MIN, 2, [5 * MIN], gap
+    )
+    assert closed == [] and state == (5 * MIN, 20 * MIN, 3)
