@@ -172,18 +172,29 @@ class BPETokenizer:
         return raw.decode("utf-8", errors="ignore")
 
 
-_tokenizer = None
+_tokenizers = {}  # resolved path (or None) -> tokenizer instance
 
 
-def get_tokenizer():
-    global _tokenizer
-    if _tokenizer is None:
-        path = os.environ.get("SIFT_SPARK_CL100K_PATH")
-        if path and os.path.exists(path):
-            _tokenizer = BPETokenizer.from_file(path)
-        else:
-            _tokenizer = FallbackTokenizer()
-    return _tokenizer
+def get_tokenizer(path=None):
+    """Tokenizer for `path` (tiktoken-format rank file), falling back to
+    $SIFT_SPARK_CL100K_PATH, then to the deterministic fallback.
+
+    Cached per resolved path: pandas-UDF bodies construct a Counter per
+    Arrow batch, and re-parsing a multi-MB vocab per batch would dominate
+    the kernel. The explicit `path` parameter exists so Spark plans can
+    capture the path DRIVER-side at plan build (closure) instead of
+    relying on worker-process env -- worker daemons inherit env from the
+    JVM at launch, so env set after session start never reaches them,
+    and on a real cluster the env would have to be replicated per node."""
+    resolved = path or os.environ.get("SIFT_SPARK_CL100K_PATH")
+    if resolved and not os.path.exists(resolved):
+        resolved = None
+    if resolved not in _tokenizers:
+        _tokenizers[resolved] = (
+            BPETokenizer.from_file(resolved) if resolved
+            else FallbackTokenizer()
+        )
+    return _tokenizers[resolved]
 
 
 # ---- counter facade ---------------------------------------------------------------
@@ -192,11 +203,11 @@ def get_tokenizer():
 class Counter:
     """Factory facade matching counter.NewCounter (counter.go:58-69)."""
 
-    def __init__(self, method):
+    def __init__(self, method, vocab_path=None):
         if method not in (TOKENS, WORDS, CHARS):
             method = TOKENS
         self.method = method
-        self._tok = get_tokenizer() if method == TOKENS else None
+        self._tok = get_tokenizer(vocab_path) if method == TOKENS else None
 
     @property
     def name(self):

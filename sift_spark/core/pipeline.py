@@ -13,6 +13,7 @@ test-side outputs are identical (SURVEY.md §4.2 "byte-identical parity").
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from . import extract as extract_mod
@@ -43,6 +44,13 @@ class SiftParams:
     context_units: int = 0
     use_smart_context: bool = False
     extra: dict = field(default_factory=dict)
+    # captured on the DRIVER when params are constructed and shipped to
+    # workers inside the UDF closure, so the real-vocab tokenizer works
+    # without per-node env setup (ship the file itself via
+    # `spark-submit --files` on a cluster)
+    cl100k_path: str | None = field(
+        default_factory=lambda: os.environ.get("SIFT_SPARK_CL100K_PATH")
+    )
 
 
 def extract_document(html, params):
@@ -59,7 +67,8 @@ def transform_text(text, params):
         if params.max_units <= 0:
             return text
         return apply_simple_size_limit(
-            text, params.max_units, params.counting_method
+            text, params.max_units, params.counting_method,
+            params.cl100k_path,
         )
     return _apply_search_transformations(text, params, search_query)
 
@@ -86,10 +95,11 @@ def combine_documents(texts):
 # ---- simple size limit (sift.go:305-372) -------------------------------------------
 
 
-def apply_simple_size_limit(content, max_units, counting_method):
+def apply_simple_size_limit(content, max_units, counting_method,
+                            vocab_path=None):
     if max_units <= 0:
         return content
-    counter = Counter(counting_method)
+    counter = Counter(counting_method, vocab_path)
 
     # split into word tokens carrying their leading whitespace (plus a
     # possible trailing whitespace-only token) -- regex form of the Go
@@ -119,7 +129,8 @@ def prepare_chunks(text, params):
     """Chunk + classify filter -> (selector, chunks)
     (sift.go:184-213)."""
     selector = ChunkSelector(
-        params.counting_method, params.max_units, params.strategy
+        params.counting_method, params.max_units, params.strategy,
+        vocab_path=params.cl100k_path,
     )
     chunks = selector.prepare_chunks(text)
     if chunks and not params.include_all:

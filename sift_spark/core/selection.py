@@ -108,8 +108,9 @@ def context_strategy(field, is_list):
 class ChunkSelector:
     """Counterpart of app.ChunkSelector (chunk_selection.go:77-103)."""
 
-    def __init__(self, counting_method, max_units, strategy=BEGINNING):
-        self.counter = Counter(counting_method)
+    def __init__(self, counting_method, max_units, strategy=BEGINNING,
+                 vocab_path=None):
+        self.counter = Counter(counting_method, vocab_path)
         self.max_units = max_units
         self.strategy = strategy
         self.is_search_mode = False

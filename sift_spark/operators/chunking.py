@@ -17,6 +17,8 @@ Spark-first split of work:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -124,9 +126,13 @@ def unit_count_col(col, method):
     if method == CHARS:
         return F.length(col)
 
+    # capture the vocab path DRIVER-side at plan build: worker daemons
+    # never see env set after session start (counters.get_tokenizer)
+    vocab_path = os.environ.get("SIFT_SPARK_CL100K_PATH")
+
     @F.pandas_udf(T.IntegerType())
     def token_count(text: pd.Series) -> pd.Series:
-        counter = Counter(TOKENS)
+        counter = Counter(TOKENS, vocab_path)
         return text.map(lambda v: counter.count(v) if v else 0)
 
     return token_count(col)

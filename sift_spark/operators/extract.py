@@ -100,7 +100,7 @@ def make_extract_udf(params: SiftParams):
 
     @F.pandas_udf(EXTRACT_RESULT_SCHEMA)
     def extract_batch(html: pd.Series) -> pd.DataFrame:
-        counter = Counter(params.counting_method)
+        counter = Counter(params.counting_method, params.cl100k_path)
         texts, errors, n_chunks_list, n_units_list = [], [], [], []
         for raw in html:
             text, error, n_chunks, n_units = _run_one(raw, params, counter)

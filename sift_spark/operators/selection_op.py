@@ -178,7 +178,8 @@ def _select_one_group(url, chunks, scores, flags, params, has_score):
         return url, "", 0
 
     selector = ChunkSelector(
-        params.counting_method, params.max_units, params.strategy
+        params.counting_method, params.max_units, params.strategy,
+        vocab_path=params.cl100k_path,
     )
     if has_score:
         triples = sorted(
