@@ -3,10 +3,11 @@
 From-scratch implementation of the selector grammar the reference exercises
 through goquery/cascadia (/root/reference/internal/extract/extract.go:59-91,
 extract_test.go:125-196, 341-360): type selectors, .class, #id, [attr],
-[attr=value], compound selectors, descendant (whitespace) and child (>)
-combinators, and comma-separated selector lists. Invalid syntax raises
-SelectorError (the reference surfaces a parse error for ">>invalid<<").
-"""
+[attr=value], compound selectors, descendant (whitespace) / child (>) /
+adjacent-sibling (+) / general-sibling (~) combinators, the child-position
+pseudo-classes :first-child / :last-child / :nth-child(an+b|odd|even|n),
+and comma-separated selector lists. Invalid syntax raises SelectorError
+(the reference surfaces a parse error for ">>invalid<<")."""
 
 from __future__ import annotations
 
@@ -24,7 +25,8 @@ _SIMPLE_RE = re.compile(
     (?P<rest>(?:
         \.[a-zA-Z_][a-zA-Z0-9_-]*      |   # class
         \#[a-zA-Z_][a-zA-Z0-9_-]*      |   # id
-        \[[a-zA-Z_][a-zA-Z0-9_-]*(?:[~^$*|]?=(?:"[^"]*"|'[^']*'|[^\]]*))?\]
+        \[[a-zA-Z_][a-zA-Z0-9_-]*(?:[~^$*|]?=(?:"[^"]*"|'[^']*'|[^\]]*))?\] |
+        :[a-zA-Z-]+(?:\([^()]*\))?         # pseudo-class
     )*)
     """,
     re.VERBOSE,
@@ -33,19 +35,75 @@ _PART_RE = re.compile(
     r"""\.([a-zA-Z_][a-zA-Z0-9_-]*)
       | \#([a-zA-Z_][a-zA-Z0-9_-]*)
       | \[([a-zA-Z_][a-zA-Z0-9_-]*)(?:([~^$*|]?=)("[^"]*"|'[^']*'|[^\]]*))?\]
+      | :([a-zA-Z-]+)(?:\(([^()]*)\))?
     """,
     re.VERBOSE,
 )
 
+# an+b micro-grammar for :nth-child -- "odd", "even", "5", "2n", "2n+1",
+# "-n+3", "n" (whitespace inside the parens is normalized away upstream)
+_NTH_RE = re.compile(r"(?i)^(?:([+-]?\d*)n([+-]\d+)?|([+-]?\d+))$")
+
+
+def _parse_nth(arg):
+    """:nth-child argument -> (a, b) of an+b (1-based child index matches
+    when index == a*k + b for some integer k >= 0)."""
+    arg = (arg or "").strip().lower()
+    if arg == "odd":
+        return 2, 1
+    if arg == "even":
+        return 2, 0
+    m = _NTH_RE.match(arg)
+    if not m:
+        raise SelectorError(f"invalid :nth-child argument: {arg!r}")
+    if m.group(3) is not None:
+        return 0, int(m.group(3))
+    a_txt = m.group(1)
+    a = {"": 1, "+": 1, "-": -1}.get(a_txt, None)
+    if a is None:
+        a = int(a_txt)
+    b = int(m.group(2) or 0)
+    return a, b
+
+
+def _nth_matches(nth, index):
+    a, b = nth
+    if a == 0:
+        return index == b
+    k, rem = divmod(index - b, a)
+    return rem == 0 and k >= 0
+
+
+def _child_position(node):
+    """(1-based index, count) of `node` among its parent's ELEMENT
+    children (CSS counts elements only). A parentless node is its own
+    only child (the document element matches :first-child per spec)."""
+    parent = node.parent
+    if parent is None:
+        return 1, 1
+    index = 0
+    total = 0
+    for child in parent.children:
+        if child.tag is None:
+            continue
+        total += 1
+        if child is node:
+            index = total
+    return index, total
+
+
+_PSEUDO_NAMES = frozenset(("first-child", "last-child", "nth-child"))
+
 
 class _Simple:
-    __slots__ = ("tag", "classes", "ids", "attr_tests")
+    __slots__ = ("tag", "classes", "ids", "attr_tests", "pseudo_tests")
 
-    def __init__(self, tag, classes, ids, attr_tests):
+    def __init__(self, tag, classes, ids, attr_tests, pseudo_tests=()):
         self.tag = tag  # None or "*" means any
         self.classes = classes
         self.ids = ids
         self.attr_tests = attr_tests
+        self.pseudo_tests = pseudo_tests  # (name, (a, b) | None)
 
     def matches(self, node):
         if node.tag is None or node.tag == "root":
@@ -78,6 +136,14 @@ class _Simple:
                 return False
             if op == "|=" and not (actual == value or actual.startswith(value + "-")):
                 return False
+        for name, nth in self.pseudo_tests:
+            index, total = _child_position(node)
+            if name == "first-child" and index != 1:
+                return False
+            if name == "last-child" and index != total:
+                return False
+            if name == "nth-child" and not _nth_matches(nth, index):
+                return False
         return True
 
 
@@ -85,44 +151,88 @@ def _parse_simple(text):
     m = _SIMPLE_RE.fullmatch(text)
     if m is None or (not m.group("tag") and not m.group("rest")):
         raise SelectorError(f"invalid selector component: {text!r}")
-    classes, ids, attr_tests = [], [], []
+    classes, ids, attr_tests, pseudo_tests = [], [], [], []
     for part in _PART_RE.finditer(m.group("rest") or ""):
         if part.group(1):
             classes.append(part.group(1))
         elif part.group(2):
             ids.append(part.group(2))
+        elif part.group(6):
+            name = part.group(6).lower()
+            if name not in _PSEUDO_NAMES:
+                raise SelectorError(f"unsupported pseudo-class: :{name}")
+            arg = part.group(7)
+            if name == "nth-child":
+                if arg is None:
+                    raise SelectorError(":nth-child requires an argument")
+                pseudo_tests.append((name, _parse_nth(arg)))
+            else:
+                if arg is not None:
+                    raise SelectorError(f":{name} takes no argument")
+                pseudo_tests.append((name, None))
         else:
             value = part.group(5)
             if value is not None and value[:1] in "\"'" and value[-1:] == value[:1]:
                 value = value[1:-1]
             attr_tests.append((part.group(3).lower(), part.group(4), value))
     tag = m.group("tag")
-    return _Simple(tag.lower() if tag else None, classes, ids, attr_tests)
+    return _Simple(tag.lower() if tag else None, classes, ids, attr_tests,
+                   tuple(pseudo_tests))
 
 
 def _parse_compound_chain(selector):
     """Parse one selector (no commas) into [(combinator, _Simple), ...].
 
-    combinator is ' ' (descendant) or '>' (child); the first entry's
-    combinator is ignored.
+    combinator is ' ' (descendant), '>' (child), '+' (adjacent sibling)
+    or '~' (general sibling); the first entry's combinator is ignored.
     """
-    tokens = re.split(r"\s*(>)\s*|\s+", selector.strip())
+    # normalize whitespace inside pseudo-class parens (":nth-child( 2n + 1 )")
+    # so the combinator tokenization below stays simple
+    normalized = re.sub(
+        r"\(\s*([^()]*?)\s*\)",
+        lambda m: "(" + re.sub(r"\s+", "", m.group(1)) + ")",
+        selector.strip(),
+    )
+    # paren-aware tokenizer: '+' inside :nth-child(2n+1) is NOT a
+    # combinator, so a simple-selector token may contain (...) groups
+    tokens = []
+    pos = 0
+    for m in re.finditer(
+        r"\s*(?:([>+~])|((?:\([^()]*\)|[^\s>+~(])+))", normalized
+    ):
+        if m.start() != pos:
+            raise SelectorError(f"invalid selector syntax: {selector!r}")
+        pos = m.end()
+        tokens.append(m.group(1) or m.group(2))
+    if pos != len(normalized):
+        raise SelectorError(f"invalid selector syntax: {selector!r}")
     chain = []
     combinator = " "
+    pending = None
     for token in tokens:
         if token is None or token == "":
             continue
-        if token == ">":
+        if token in (">", "+", "~"):
             if not chain:
-                raise SelectorError(f"selector cannot start with '>': {selector!r}")
-            combinator = ">"
+                raise SelectorError(
+                    f"selector cannot start with {token!r}: {selector!r}"
+                )
+            if pending is not None:
+                raise SelectorError(
+                    f"misplaced combinator {token!r}: {selector!r}"
+                )
+            pending = token
+            combinator = token
             continue
         chain.append((combinator, _parse_simple(token)))
         combinator = " "
+        pending = None
     if not chain:
         raise SelectorError(f"empty selector: {selector!r}")
-    if combinator == ">":
-        raise SelectorError(f"selector cannot end with '>': {selector!r}")
+    if pending is not None:
+        raise SelectorError(
+            f"selector cannot end with {pending!r}: {selector!r}"
+        )
     return chain
 
 
@@ -170,11 +280,37 @@ def _chain_matches(chain, node, ancestors):
     return _match_prefix(chain, len(chain) - 2, node)
 
 
+def _element_siblings_before(node):
+    """Element siblings preceding `node`, nearest LAST."""
+    parent = node.parent
+    if parent is None:
+        return []
+    out = []
+    for child in parent.children:
+        if child is node:
+            break
+        if child.tag is not None:
+            out.append(child)
+    return out
+
+
 def _match_prefix(chain, idx, node):
     if idx < 0:
         return True
     combinator_to_right = chain[idx + 1][0]
     simple = chain[idx][1]
+    if combinator_to_right == "+":
+        before = _element_siblings_before(node)
+        if not before:
+            return False
+        prev = before[-1]
+        return simple.matches(prev) and _match_prefix(chain, idx - 1, prev)
+    if combinator_to_right == "~":
+        for sibling in reversed(_element_siblings_before(node)):
+            if simple.matches(sibling) and _match_prefix(chain, idx - 1,
+                                                         sibling):
+                return True
+        return False
     parent = node.parent
     if combinator_to_right == ">":
         if parent is None or parent.tag in (None, "root"):

@@ -136,3 +136,66 @@ def test_universal():
 def test_invalid_selectors(bad):
     with pytest.raises(css.SelectorError):
         css.compile_selector(bad)
+
+
+# ---- round-3 long tail: sibling combinators + child-position pseudos ---------------
+
+SIBLING_DOC = parse("""<html><body>
+<article>
+ <p id="a">first para</p>
+ <p id="b">second para</p>
+ <div id="c">a div</div>
+ <p id="d">third para</p>
+</article>
+<section>
+ <h2 id="h">header</h2>
+ <p id="e">after header</p>
+ <p id="f">second after</p>
+</section>
+</body></html>""")
+
+
+def _ids(selector):
+    return [n.attrs.get("id") for n in css.select(SIBLING_DOC, selector)]
+
+
+@pytest.mark.parametrize("selector,expected", [
+    # child-position pseudo-classes (indexes count ELEMENT children:
+    # article = p,p,div,p; section = h2,p,p)
+    ("p:first-child", ["a"]),
+    ("article > p:first-child", ["a"]),
+    ("p:last-child", ["d", "f"]),
+    ("div:last-child", []),
+    ("article :nth-child(2)", ["b"]),
+    ("article :nth-child(3)", ["c"]),
+    ("p:nth-child(odd)", ["a", "f"]),       # d is child 4 (after the div)
+    ("p:nth-child(even)", ["b", "d", "e"]),
+    ("p:nth-child(2n+1)", ["a", "f"]),
+    ("p:nth-child(-n+2)", ["a", "b", "e"]),
+    ("p:nth-child( 2n + 1 )", ["a", "f"]),  # whitespace inside parens ok
+    ("p:nth-child(n)", ["a", "b", "d", "e", "f"]),
+    ("article p:nth-child(3)", []),          # child 3 is the div
+    # sibling combinators
+    ("h2 + p", ["e"]),
+    ("h2 ~ p", ["e", "f"]),
+    ("p + p", ["b", "f"]),
+    ("p ~ p", ["b", "d", "f"]),
+    ("div + p", ["d"]),
+    ("div ~ p", ["d"]),
+    ("p + div", ["c"]),
+    # compositions
+    ("p:first-child + p", ["b"]),
+    ("section > h2 + p", ["e"]),
+    ("article > p:last-child", ["d"]),
+])
+def test_sibling_and_pseudo_selectors(selector, expected):
+    assert _ids(selector) == expected
+
+
+@pytest.mark.parametrize("bad", [
+    ":unknown", "p:", "p:nth-child", "p:nth-child()", "p:nth-child(x)",
+    "p:first-child(2)", "+ p", "p +", "p + + q", "p ~", "~ p",
+])
+def test_invalid_pseudo_and_sibling_selectors(bad):
+    with pytest.raises(css.SelectorError):
+        css.compile_selector(bad)

@@ -132,6 +132,32 @@ EDGE_CASES = {
         "<html><body><p>First line<br/>Second line</p></body></html>", "p"),
     "br-multiple": (
         "<html><body><p>Line one<br><br>Line two</p></body></html>", "p"),
+    # round-3 selector long tail: sibling combinators + child-position
+    # pseudo-classes (cascadia accepts these; extract.go:61-70)
+    "first-child": (
+        "<html><body><article><p>lead para</p><p>second para</p>"
+        "</article></body></html>", "article > p:first-child"),
+    "last-child": (
+        "<html><body><article><p>lead para</p><p>tail para</p>"
+        "</article></body></html>", "p:last-child"),
+    "nth-child-odd": (
+        "<html><body><ul><li>one</li><li>two</li><li>three</li>"
+        "<li>four</li></ul></body></html>", "li:nth-child(odd)"),
+    "nth-child-anb": (
+        "<html><body><ul><li>one</li><li>two</li><li>three</li>"
+        "<li>four</li><li>five</li></ul></body></html>",
+        "li:nth-child(3n+1)"),
+    "adjacent-sibling": (
+        "<html><body><h2>Header</h2><p>right after</p><p>further down</p>"
+        "</body></html>", "h2 + p"),
+    "general-sibling": (
+        "<html><body><h2>Header</h2><p>first after</p><div>break</div>"
+        "<p>second after</p></body></html>", "h2 ~ p"),
+    "pseudo-zero-match": (
+        "<html><body><div><p>only child</p></div></body></html>",
+        "p:nth-child(2)"),
+    "pseudo-parse-error": (
+        "<html><body><p>text</p></body></html>", "p:nth-child(banana)"),
 }
 
 
