@@ -246,6 +246,47 @@ def _q_budget_cumsum(spark, sf_dir):
     return cum.filter(F.col("cum_value") <= 50.0)
 
 
+
+def _q_select_format(spark, sf_dir):
+    """Relational twin of the select->format path (SURVEY §2.6-2.8,
+    VERDICT r2 next-step 6): word-group chunks over documents ->
+    strategy rank (beginning) -> cumulative-sum budget filter ->
+    smart-separator lag -> document-order concat. Exercises
+    selection_op.budget_filter / separator_col / format_selected with a
+    full DuckDB oracle; byte-exact PARTIAL chunks stay in the exact
+    tier's golden coverage (chunk_selection.go:522-714)."""
+    from sift_spark.operators.selection_op import (
+        budget_filter,
+        format_selected,
+    )
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    base_chunks = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            )
+        ).alias("chunk_idx", "base"),
+    )
+    # punctuate every third chunk so BOTH separator branches fire
+    # (sentence-final + len>40 -> blank line, otherwise newline)
+    chunks = base_chunks.select(
+        "url",
+        "chunk_idx",
+        F.when(F.col("chunk_idx") % 3 == 0, F.concat(F.col("base"), F.lit(".")))
+        .otherwise(F.col("base"))
+        .alias("chunk_text"),
+    ).withColumn("n_units", F.size(F.split(F.col("chunk_text"), " ")))
+    ranked = chunks.withColumn("sel_rank", F.col("chunk_idx"))
+    selected = budget_filter(ranked, 40)
+    return format_selected(selected).select("url", "text")
+
+
 def _q_topk_by_type(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -688,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positional_threshold": _q_positional_threshold,
         "strategy_middle_rank": _q_strategy_middle_rank,
         "budget_cumsum": _q_budget_cumsum,
+        "select_format": _q_select_format,
         "topk_by_type": _q_topk_by_type,
         "sessionize": _q_sessionize,
         # dedup / similarity
@@ -983,6 +1025,60 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT * FROM cum WHERE cum_value <= 50.0
+        """,
+        "select_format": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            chunks AS (
+                SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                       i - 1 AS chunk_idx,
+                       array_to_string(w[(i-1)*8+1 : i*8], ' ') AS base
+                FROM words,
+                     unnest(generate_series(
+                         1, CAST(ceil(len(w) / 8.0) AS INTEGER))) AS t(i)
+            ),
+            chunked AS (
+                SELECT url, chunk_idx,
+                       CASE WHEN chunk_idx % 3 = 0 THEN base || '.'
+                            ELSE base END AS chunk_text
+                FROM chunks
+            ),
+            sel AS (
+                SELECT url, chunk_idx, chunk_text
+                FROM (
+                    SELECT *,
+                           sum(len(string_split(chunk_text, ' ')))
+                               OVER (PARTITION BY url ORDER BY chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_units
+                    FROM chunked
+                ) WHERE cum_units <= 40
+            ),
+            with_sep AS (
+                SELECT url, chunk_idx, chunk_text,
+                       CASE
+                           WHEN lag(chunk_text) OVER w IS NULL THEN ''
+                           WHEN trim(lag(chunk_text) OVER w) = ''
+                               THEN chr(10) || chr(10)
+                           WHEN ends_with(lag(chunk_text) OVER w,
+                                          chr(10) || chr(10))
+                               THEN chr(10) || chr(10)
+                           WHEN ends_with(lag(chunk_text) OVER w, chr(10))
+                               THEN chr(10)
+                           WHEN regexp_matches(trim(lag(chunk_text) OVER w),
+                                               '[.!?]$')
+                                AND length(trim(lag(chunk_text) OVER w)) > 40
+                               THEN chr(10) || chr(10)
+                           ELSE chr(10)
+                       END AS sep
+                FROM sel
+                WINDOW w AS (PARTITION BY url ORDER BY chunk_idx)
+            )
+            SELECT url,
+                   string_agg(sep || chunk_text, '' ORDER BY chunk_idx)
+                       AS text
+            FROM with_sep GROUP BY url
         """,
         "topk_by_type": """
             WITH ranked AS (
