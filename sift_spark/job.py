@@ -78,7 +78,71 @@ def _build_params(args):
     )
 
 
+def run_media_job(spark, media_df, output_dir, decoder=None,
+                  deterministic_fake=True):
+    """Media feature-extraction job: media table -> feature table parquet.
+
+    decoder: a 'module:function' spec (or callable) plugging the real
+    media decoder -- swapping one in is a job-config change, not an
+    engine edit (the container ships no image/audio libs, so the default
+    is the deterministic content-hash fake; deterministic_fake=False
+    makes the stub raise instead)."""
+    from .operators.multimodal import extract_media_features
+
+    features = extract_media_features(
+        media_df, deterministic_fake=deterministic_fake,
+        batch_feature_fn=decoder,
+    )
+    features.write.mode("overwrite").parquet(output_dir)
+    return spark.read.parquet(output_dir)
+
+
+def media_main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="sift-spark media feature job"
+    )
+    parser.add_argument("--input", required=True, help="media parquet path")
+    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument(
+        "--decoder", default=None,
+        help="module:function mapping payload bytes -> list[float] "
+             "(default: deterministic content-hash fake)",
+    )
+    parser.add_argument(
+        "--strict", action="store_true",
+        help="fail instead of falling back to the deterministic fake",
+    )
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # only stop a session THIS invocation created (getOrCreate reuses a
+    # live one -- stopping it would kill the caller's session)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="sift-spark-media-job", cores=args.cores)
+    features = run_media_job(
+        spark,
+        spark.read.parquet(args.input),
+        args.output,
+        decoder=args.decoder,
+        deterministic_fake=not args.strict,
+    )
+    summary = features.agg(
+        F.count("*"), F.sum(F.when(F.col("error").isNotNull(), 1)
+                            .otherwise(0))
+    ).first()
+    print(f"media rows={summary[0]} errors={summary[1] or 0}")
+    if owns_session:
+        spark.stop()
+
+
 def main(argv=None):
+    import sys
+
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "media":
+        return media_main(argv[1:])
     parser = argparse.ArgumentParser(description="sift-spark extraction job")
     parser.add_argument("--input", required=True, help="pages parquet path")
     parser.add_argument("--output", required=True, help="output directory")

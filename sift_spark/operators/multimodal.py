@@ -65,13 +65,34 @@ def _fake_features(payload):
     return [float(v % 1000) / 1000.0 for v in ints]
 
 
+def resolve_decoder(spec):
+    """'module.path:function' -> the callable (payload_bytes ->
+    list[float]). This is what makes a real decoder a CONFIG change:
+    `--decoder my_decoders:clip_embed` on the job CLI, no engine edit."""
+    import importlib
+
+    if callable(spec):
+        return spec
+    if not spec or ":" not in spec:
+        raise ValueError(
+            f"decoder spec must be 'module.path:function', got {spec!r}"
+        )
+    module_name, func_name = spec.split(":", 1)
+    module = importlib.import_module(module_name)
+    fn = getattr(module, func_name, None)
+    if not callable(fn):
+        raise ValueError(f"{spec!r} does not name a callable")
+    return fn
+
+
 def extract_media_features(media_df, deterministic_fake=True,
                            batch_feature_fn=None):
     """media table -> feature table via mapInPandas (Arrow-streamed).
 
-    batch_feature_fn(payload_bytes) -> list[float] lets callers plug a
-    real decoder; without one and with deterministic_fake=False this
-    raises NotImplementedError (clearly-marked stub)."""
+    batch_feature_fn: a callable (payload_bytes -> list[float]) or a
+    'module:function' spec string (resolve_decoder) plugging a real
+    decoder; without one and with deterministic_fake=False this raises
+    NotImplementedError (clearly-marked stub)."""
     if batch_feature_fn is None:
         if decode_available():  # pragma: no cover
             raise NotImplementedError(
@@ -84,6 +105,8 @@ def extract_media_features(media_df, deterministic_fake=True,
                 "deterministic_fake=True"
             )
         batch_feature_fn = _fake_features
+    elif isinstance(batch_feature_fn, str):
+        batch_feature_fn = resolve_decoder(batch_feature_fn)
 
     def process(iterator):
         import pandas as pd
@@ -93,10 +116,15 @@ def extract_media_features(media_df, deterministic_fake=True,
                 "media_id": [], "kind": [], "n_bytes": [],
                 "content_sha1": [], "features": [], "error": [],
             }
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
-                rows["media_id"].append(row["media_id"])
-                rows["kind"].append(row["kind"])
+            # column-array iteration (no pandas Series boxing per row);
+            # per-blob work is inherently sequential inside the batch
+            for media_id, kind, payload in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["kind"].to_numpy(),
+                pdf["payload"].tolist(),
+            ):
+                rows["media_id"].append(media_id)
+                rows["kind"].append(kind)
                 if payload is None:
                     rows["n_bytes"].append(0)
                     rows["content_sha1"].append(None)

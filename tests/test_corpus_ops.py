@@ -310,6 +310,53 @@ def test_simhash_bucket_cap_drops_hot_blocks(spark):
     assert hot.agg({"n_members": "max"}).first()[0] == 20
 
 
+def test_media_decoder_injection_via_job_config(spark, tmp_path):
+    """A real decoder is a JOB-CONFIG change: the media job receives a
+    'module:function' spec string (the --decoder CLI flag / run_media_job
+    kwarg), resolves it, and every feature row comes from that function
+    -- no engine edit."""
+    from sift_spark.job import media_main
+    from sift_spark.operators.multimodal import build_fake_media_df
+    from tests.fake_decoder import decode
+
+    media = build_fake_media_df(spark, n_rows=9)
+    input_dir = str(tmp_path / "media_in")
+    output_dir = str(tmp_path / "media_out")
+    media.write.parquet(input_dir)
+
+    media_main([
+        "--input", input_dir, "--output", output_dir,
+        "--decoder", "tests.fake_decoder:decode", "--strict",
+    ])
+
+    out = spark.read.parquet(output_dir).collect()
+    assert len(out) == 9
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in media.collect()}
+    import numpy as np
+
+    for row in out:
+        assert row["error"] is None
+        expected = np.asarray(decode(payloads[row["media_id"]]),
+                              dtype=np.float32)
+        assert np.array_equal(
+            np.asarray(row["features"], dtype=np.float32), expected
+        )
+
+
+def test_resolve_decoder_errors():
+    from sift_spark.operators.multimodal import resolve_decoder
+
+    with pytest.raises(ValueError):
+        resolve_decoder("no-colon-here")
+    with pytest.raises(ValueError):
+        resolve_decoder("tests.fake_decoder:not_a_function")
+    with pytest.raises(ModuleNotFoundError):
+        resolve_decoder("no.such.module:fn")
+    fn = resolve_decoder("tests.fake_decoder:decode")
+    assert fn(b"abc") == fn(b"abc")
+
+
 def test_bucket_cap_observation_signals_drops(spark, caplog):
     """The default-on cap must not be a SILENT recall loss: attaching a
     bucket_cap_observation records how many banded rows the cap removed
