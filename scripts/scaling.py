@@ -253,8 +253,35 @@ markdown + budget), ≈ 3.8 MB/s/core HTML-in (round 2: clone-free sibling merge
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, "w") as fh:
-        fh.write(report)
+    if os.path.exists(path):
+        # append a replicate run instead of clobbering the accumulated
+        # variance/heap/A-B sections below the original report
+        section = f"""
+
+## Scaling replicate run (appended)
+
+Same protocol as the headline tables (fresh JVM per level, identical
+input, best-of-2, distributed aggregate action).
+
+| parallelism | extract sec | gen sec | docs/sec | MB/sec HTML-in |
+|---|---|---|---|---|
+{spark_rows}
+
+| control processes | wall sec | docs/sec |
+|---|---|---|
+{ctl_rows}
+
+| step | raw Spark | platform ceiling | engine-attributable |
+|---|---|---|---|
+{eff_rows}
+
+Output byte-identity across levels: {"PASS" if identical else "FAIL"}.
+"""
+        with open(path, "a") as fh:
+            fh.write(section)
+    else:
+        with open(path, "w") as fh:
+            fh.write(report)
     print(json.dumps({
         "levels": levels,
         "spark_docs_per_sec": [round(r["docs_per_sec"], 1)
