@@ -74,17 +74,19 @@ def _nth_matches(nth, index):
     return rem == 0 and k >= 0
 
 
-def _child_position(node):
+def _child_position(node, of_type=False):
     """(1-based index, count) of `node` among its parent's ELEMENT
-    children (CSS counts elements only). A parentless node is its own
-    only child (the document element matches :first-child per spec)."""
+    children (CSS counts elements only); of_type restricts to elements
+    with the same tag (the -of-type family). A parentless node is its
+    own only child (the document element matches :first-child per
+    spec)."""
     parent = node.parent
     if parent is None:
         return 1, 1
     index = 0
     total = 0
     for child in parent.children:
-        if child.tag is None:
+        if child.tag is None or (of_type and child.tag != node.tag):
             continue
         total += 1
         if child is node:
@@ -92,7 +94,12 @@ def _child_position(node):
     return index, total
 
 
-_PSEUDO_NAMES = frozenset(("first-child", "last-child", "nth-child"))
+_PSEUDO_NAMES = frozenset((
+    "first-child", "last-child", "nth-child", "only-child",
+    "first-of-type", "last-of-type", "nth-of-type", "only-of-type",
+    "empty", "not",
+))
+_NTH_PSEUDOS = frozenset(("nth-child", "nth-of-type"))
 
 
 class _Simple:
@@ -136,13 +143,27 @@ class _Simple:
                 return False
             if op == "|=" and not (actual == value or actual.startswith(value + "-")):
                 return False
-        for name, nth in self.pseudo_tests:
-            index, total = _child_position(node)
-            if name == "first-child" and index != 1:
+        for name, arg in self.pseudo_tests:
+            if name == "not":
+                if arg.matches(node):
+                    return False
+                continue
+            if name == "empty":
+                if any(
+                    c.tag is not None or c.text for c in node.children
+                ):
+                    return False
+                continue
+            of_type = name.endswith("-of-type")
+            index, total = _child_position(node, of_type)
+            base = name[:-8] if of_type else name[:-6]  # strip suffix
+            if base == "first" and index != 1:
                 return False
-            if name == "last-child" and index != total:
+            if base == "last" and index != total:
                 return False
-            if name == "nth-child" and not _nth_matches(nth, index):
+            if base == "only" and not (index == 1 and total == 1):
+                return False
+            if base == "nth" and not _nth_matches(arg, index):
                 return False
         return True
 
@@ -162,10 +183,18 @@ def _parse_simple(text):
             if name not in _PSEUDO_NAMES:
                 raise SelectorError(f"unsupported pseudo-class: :{name}")
             arg = part.group(7)
-            if name == "nth-child":
+            if name in _NTH_PSEUDOS:
                 if arg is None:
-                    raise SelectorError(":nth-child requires an argument")
+                    raise SelectorError(f":{name} requires an argument")
                 pseudo_tests.append((name, _parse_nth(arg)))
+            elif name == "not":
+                if not arg or not arg.strip():
+                    raise SelectorError(":not requires an argument")
+                if re.search(r"[\s>+~,]", arg.strip()):
+                    raise SelectorError(
+                        ":not accepts a simple selector only"
+                    )
+                pseudo_tests.append((name, _parse_simple(arg.strip())))
             else:
                 if arg is not None:
                     raise SelectorError(f":{name} takes no argument")
@@ -186,12 +215,18 @@ def _parse_compound_chain(selector):
     combinator is ' ' (descendant), '>' (child), '+' (adjacent sibling)
     or '~' (general sibling); the first entry's combinator is ignored.
     """
-    # normalize whitespace inside pseudo-class parens (":nth-child( 2n + 1 )")
-    # so the combinator tokenization below stays simple
+    # normalize whitespace inside NTH-STYLE pseudo-class parens
+    # (":nth-child( 2n + 1 )") so the combinator tokenization below stays
+    # simple; other arguments (e.g. :not(.ad)) keep their spacing so a
+    # combinator inside them is still detected and rejected
+    def _norm_parens(m):
+        inner = m.group(1)
+        if re.fullmatch(r"[\s0-9nN+-]*|\s*(?i:odd|even)\s*", inner):
+            return "(" + re.sub(r"\s+", "", inner) + ")"
+        return "(" + inner.strip() + ")"
+
     normalized = re.sub(
-        r"\(\s*([^()]*?)\s*\)",
-        lambda m: "(" + re.sub(r"\s+", "", m.group(1)) + ")",
-        selector.strip(),
+        r"\(\s*([^()]*?)\s*\)", _norm_parens, selector.strip()
     )
     # paren-aware tokenizer: '+' inside :nth-child(2n+1) is NOT a
     # combinator, so a simple-selector token may contain (...) groups

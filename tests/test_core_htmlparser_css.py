@@ -199,3 +199,52 @@ def test_sibling_and_pseudo_selectors(selector, expected):
 def test_invalid_pseudo_and_sibling_selectors(bad):
     with pytest.raises(css.SelectorError):
         css.compile_selector(bad)
+
+
+# ---- :not / -of-type / :only-child / :empty family ---------------------------------
+
+TYPE_DOC = parse("""<html><body>
+<article>
+ <p id="a" class="lead">first para</p>
+ <p id="b">second para</p>
+ <div id="c">a div</div>
+ <p id="d">third para</p>
+ <span id="s1"></span>
+ <span id="s2">text</span>
+</article>
+</body></html>""")
+
+
+def _tids(selector):
+    return [n.attrs.get("id") for n in css.select(TYPE_DOC, selector)]
+
+
+@pytest.mark.parametrize("selector,expected", [
+    (":not(.lead)", None),  # checked separately (includes html/body)
+    ("p:not(.lead)", ["b", "d"]),
+    ("article :not(p)", ["c", "s1", "s2"]),
+    ("p:not(#b):not(.lead)", ["d"]),  # stacked :not
+    ("p:first-of-type", ["a"]),
+    ("p:last-of-type", ["d"]),
+    ("div:first-of-type", ["c"]),
+    ("p:nth-of-type(2)", ["b"]),
+    ("p:nth-of-type(3)", ["d"]),      # 4th child but 3rd p
+    ("p:nth-of-type(odd)", ["a", "d"]),
+    ("div:only-of-type", ["c"]),
+    ("p:only-of-type", []),
+    ("div:only-child", []),
+    ("span:empty", ["s1"]),
+    ("p:empty", []),
+])
+def test_type_family_pseudo_selectors(selector, expected):
+    if expected is not None:
+        assert _tids(selector) == expected
+
+
+@pytest.mark.parametrize("bad", [
+    "p:not()", "p:not( )", "p:not(div p)", "p:not(a>b)", "p:not(a,b)",
+    "p:only-child(2)", "p:empty(1)", "p:nth-of-type", "p:first-of-type(2)",
+])
+def test_invalid_type_family_selectors(bad):
+    with pytest.raises(css.SelectorError):
+        css.compile_selector(bad)

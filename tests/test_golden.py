@@ -158,6 +158,15 @@ EDGE_CASES = {
         "p:nth-child(2)"),
     "pseudo-parse-error": (
         "<html><body><p>text</p></body></html>", "p:nth-child(banana)"),
+    "not-selector": (
+        '<html><body><p class="ad">sponsored</p><p>real one</p>'
+        "<p>real two</p></body></html>", "p:not(.ad)"),
+    "nth-of-type": (
+        "<html><body><h2>head</h2><p>one</p><p>two</p><p>three</p>"
+        "</body></html>", "p:nth-of-type(2)"),
+    "only-of-type": (
+        "<html><body><div><p>solo para</p><span>x</span><span>y</span>"
+        "</div></body></html>", "p:only-of-type"),
 }
 
 
