@@ -374,6 +374,24 @@ def _q_minhash_neardup_md5(spark, sf_dir):
     )
 
 
+
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup pairs -> duplicate clusters via iterative min-label
+    propagation (connected_components); component_id = min doc id, the
+    canonical keeper. Oracle: DuckDB recursive CTE over the same
+    md5-portable pair set."""
+    from sift_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(
+        _docs(spark, sf_dir), k=8, n_hashes=16, n_bands=4, min_jaccard=0.5,
+        portable_hash=True,
+    )
+    return connected_components(pairs)
+
+
 def _q_simhash_md5(spark, sf_dir):
     """60-bit SimHash built entirely from native expressions with an
     md5-derived token hash, reproducible in DuckDB SQL (oracle-checked;
@@ -738,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_words": _q_ngram_jaccard_words,
         "minhash_neardup": _q_minhash_neardup,
         "minhash_neardup_md5": _q_minhash_neardup_md5,
+        "dedup_components": _q_dedup_components,
         "simhash": _q_simhash,
         "simhash_md5": _q_simhash_md5,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
@@ -922,6 +941,61 @@ def _embedding_neardup_oracle():
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.999
     """
+
+
+_MINHASH_MD5_PAIRS_SQL = """
+            WITH norm AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ),
+            shingles AS (
+                SELECT DISTINCT doc_id,
+                       substr(t, unnest(generate_series(1,
+                           greatest(length(t) - 7, 1))), 8) AS shingle
+                FROM norm
+            ),
+            hashed AS (
+                SELECT s.doc_id, i.range AS i,
+                       min(('0x' || substr(md5(s.shingle || ':' ||
+                           CAST(i.range AS VARCHAR)), 1, 15))::BIGINT) AS h
+                FROM shingles s CROSS JOIN range(16) i
+                GROUP BY s.doc_id, i.range
+            ),
+            bands AS (
+                SELECT doc_id, i // 4 AS band_idx,
+                       string_agg(CAST(h AS VARCHAR), ':' ORDER BY i)
+                           AS band_key
+                FROM hashed GROUP BY doc_id, i // 4
+            ),
+            cands AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS n_shingles FROM shingles
+                GROUP BY doc_id
+            ),
+            common AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_common
+                FROM cands c
+                JOIN shingles sa ON sa.doc_id = c.id_a
+                JOIN shingles sb ON sb.doc_id = c.id_b
+                                AND sb.shingle = sa.shingle
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b, n_common,
+                   round(n_common::DOUBLE /
+                         (sa.n_shingles + sb.n_shingles - n_common), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(n_common::DOUBLE /
+                  (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1181,59 +1255,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6)
                   >= 0.3
         """,
-        "minhash_neardup_md5": """
-            WITH norm AS (
-                SELECT doc_id,
-                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-                FROM documents
+        "minhash_neardup_md5": _MINHASH_MD5_PAIRS_SQL,
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({_MINHASH_MD5_PAIRS_SQL}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
             ),
-            shingles AS (
-                SELECT DISTINCT doc_id,
-                       substr(t, unnest(generate_series(1,
-                           greatest(length(t) - 7, 1))), 8) AS shingle
-                FROM norm
-            ),
-            hashed AS (
-                SELECT s.doc_id, i.range AS i,
-                       min(('0x' || substr(md5(s.shingle || ':' ||
-                           CAST(i.range AS VARCHAR)), 1, 15))::BIGINT) AS h
-                FROM shingles s CROSS JOIN range(16) i
-                GROUP BY s.doc_id, i.range
-            ),
-            bands AS (
-                SELECT doc_id, i // 4 AS band_idx,
-                       string_agg(CAST(h AS VARCHAR), ':' ORDER BY i)
-                           AS band_key
-                FROM hashed GROUP BY doc_id, i // 4
-            ),
-            cands AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                 AND a.doc_id < b.doc_id
-            ),
-            sizes AS (
-                SELECT doc_id, count(*) AS n_shingles FROM shingles
-                GROUP BY doc_id
-            ),
-            common AS (
-                SELECT c.id_a, c.id_b, count(*) AS n_common
-                FROM cands c
-                JOIN shingles sa ON sa.doc_id = c.id_a
-                JOIN shingles sb ON sb.doc_id = c.id_b
-                                AND sb.shingle = sa.shingle
-                GROUP BY c.id_a, c.id_b
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            walk(node, comp) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.dst, w.comp
+                FROM walk w JOIN edges e ON e.src = w.node
             )
-            SELECT id_a, id_b, n_common,
-                   round(n_common::DOUBLE /
-                         (sa.n_shingles + sb.n_shingles - n_common), 6)
-                       AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE round(n_common::DOUBLE /
-                  (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+            SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component_id
+            FROM walk GROUP BY node
         """,
+
         "simhash_md5": _SIMHASH_MD5_SQL,
         "simhash_pairs_md5": f"""
             WITH s AS ({_SIMHASH_MD5_SQL})

@@ -384,6 +384,67 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
 
 
+def connected_components(pairs_df, id_a="id_a", id_b="id_b",
+                         max_iterations=50):
+    """Near-dup pairs -> duplicate CLUSTERS: (doc_id, component_id) where
+    component_id is the min doc id in the weakly-connected component.
+    Downstream keeps component_id as the canonical document and drops the
+    rest -- the standard last step of corpus-level dedup.
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the neighborhood min, converging in <= diameter iterations.
+    Near-dup components are shallow (boilerplate clusters are
+    near-cliques), so diameter is small; for adversarial long-chain
+    graphs switch to alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converges in O(log^2 n). Each iteration is one equi-join + min-agg
+    (shuffle on node id); labels are localCheckpoint()ed per iteration so
+    lineage stays flat; the per-iteration convergence check is ONE
+    driver-side scalar (inherent to any fixpoint loop, not a per-row
+    collect). Only docs appearing in >= 1 pair are emitted (singletons
+    are their own component by definition)."""
+    pairs = pairs_df.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    ).localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst)
+            .select(
+                "node", "comp",
+                F.least("comp", "nmin").alias("new_comp"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(
+            F.col("new_comp") != F.col("comp")
+        ).count()
+        labels = updated.select(
+            "node", F.col("new_comp").alias("comp")
+        )
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; use large-star/small-star for this graph"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
 # ---- simhash -----------------------------------------------------------------------
 
 _SIMHASH_SCHEMA = T.LongType()

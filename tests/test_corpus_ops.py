@@ -471,3 +471,24 @@ def test_ivf_topk_recall_and_exact_degenerate(spark, embeddings):
     pruned = {r["vec_id"] for r in ivf_cosine_topk(
         embeddings, query, k=10, n_clusters=8, nprobe=3).collect()}
     assert len(pruned & set(brute)) >= 7  # recall@10 >= 0.7 with 3/8 probes
+
+
+def test_connected_components_clusters_pairs(spark):
+    """Duplicate-cluster election: chains, a triangle and a lone pair all
+    collapse to min-id components; convergence takes <= diameter rounds
+    and the guard raises when the cap is too low."""
+    from sift_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),         # chain, diameter 3
+         (10, 11), (11, 12), (10, 12),   # triangle
+         (20, 21)],                      # lone pair
+        ["id_a", "id_b"])
+    out = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
