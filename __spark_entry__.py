@@ -534,6 +534,29 @@ def _q_quality_profile(spark, sf_dir):
     )
 
 
+
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation filter in ONE pass over
+    documents: language gate + quality-score gate + exact-dup keeper
+    (the composition a 100 TB pipeline runs before tokenization). All
+    three branches are narrow projections off the same scan; the only
+    shuffle is the 16-byte content-hash groupBy from exact dedup."""
+    from sift_spark.operators.dedup import exact_duplicates
+    from sift_spark.operators.textstats import text_profile
+
+    docs = _docs(spark, sf_dir)
+    prof = text_profile(docs)
+    keepers = exact_duplicates(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    return (
+        prof.join(keepers, "doc_id")
+        .filter((F.col("lang_guess") == "en")
+                & (F.col("quality_score") >= 0.5))
+        .select("doc_id", "lang_guess", "quality_score", "n_words")
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from sift_spark.operators.textstats import lang_id_col
 
@@ -768,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "quality_profile": _q_quality_profile,
         "lang_id": _q_lang_id,
+        "corpus_curation": _q_corpus_curation,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1011,6 +1035,51 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
+    quality_sql = """
+            WITH feat AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS words,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z'']+'), w -> w <> '') AS lwords,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '',
+                              'g')) AS n_punct,
+                       length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS n_digit,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           AS n_upper
+                FROM documents
+            ),
+            feat2 AS (
+                SELECT doc_id, n_chars,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           list_sum(list_transform(words,
+                               w -> length(w)))::DOUBLE / len(words)
+                       ELSE 0.0 END AS mean_word_len_raw,
+                       n_punct, n_digit, n_upper,
+                       greatest(n_chars, 1)::DOUBLE AS safe_chars,
+                       CASE WHEN len(lwords) > 0 THEN
+                           len(list_filter(lwords, w -> w IN
+                               ('the','and','of','to','is','that','with')
+                           ))::DOUBLE / len(lwords)
+                       ELSE 0.0 END AS stop_ratio_raw
+                FROM feat
+            )
+            SELECT doc_id, n_chars, n_words,
+                   round(mean_word_len_raw, 6) AS mean_word_len,
+                   round(n_punct / safe_chars, 6) AS punct_ratio,
+                   round(n_digit / safe_chars, 6) AS digit_ratio,
+                   round(n_upper / safe_chars, 6) AS upper_ratio,
+                   round(stop_ratio_raw, 6) AS stopword_ratio,
+                   round((least(n_words::DOUBLE / 100.0, 1.0)
+                        + (1.0 - least(n_punct / safe_chars * 10.0, 1.0))
+                        + (1.0 - least(n_digit / safe_chars * 5.0, 1.0))
+                        + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
+                       AS quality_score
+            FROM feat2
+        """
     return {
         "tokenize_terms": (
             f"SELECT term, count(*) AS n FROM ({token_base}) GROUP BY term"
@@ -1288,51 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         # degenerate IVF (nprobe = n_clusters) must equal brute force --
         # the shared oracle hash-checks the assign/probe/scan plumbing
         "ann_ivf_topk": _ANN_BRUTE_SQL,
-        "quality_profile": """
-            WITH feat AS (
-                SELECT doc_id,
-                       length(text) AS n_chars,
-                       list_filter(regexp_split_to_array(text, '\\s+'),
-                                   w -> w <> '') AS words,
-                       list_filter(regexp_split_to_array(lower(text),
-                                   '[^a-z'']+'), w -> w <> '') AS lwords,
-                       length(regexp_replace(text, '[^.,;:!?''"()-]', '',
-                              'g')) AS n_punct,
-                       length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           AS n_digit,
-                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                           AS n_upper
-                FROM documents
-            ),
-            feat2 AS (
-                SELECT doc_id, n_chars,
-                       len(words) AS n_words,
-                       CASE WHEN len(words) > 0 THEN
-                           list_sum(list_transform(words,
-                               w -> length(w)))::DOUBLE / len(words)
-                       ELSE 0.0 END AS mean_word_len_raw,
-                       n_punct, n_digit, n_upper,
-                       greatest(n_chars, 1)::DOUBLE AS safe_chars,
-                       CASE WHEN len(lwords) > 0 THEN
-                           len(list_filter(lwords, w -> w IN
-                               ('the','and','of','to','is','that','with')
-                           ))::DOUBLE / len(lwords)
-                       ELSE 0.0 END AS stop_ratio_raw
-                FROM feat
-            )
-            SELECT doc_id, n_chars, n_words,
-                   round(mean_word_len_raw, 6) AS mean_word_len,
-                   round(n_punct / safe_chars, 6) AS punct_ratio,
-                   round(n_digit / safe_chars, 6) AS digit_ratio,
-                   round(n_upper / safe_chars, 6) AS upper_ratio,
-                   round(stop_ratio_raw, 6) AS stopword_ratio,
-                   round((least(n_words::DOUBLE / 100.0, 1.0)
-                        + (1.0 - least(n_punct / safe_chars * 10.0, 1.0))
-                        + (1.0 - least(n_digit / safe_chars * 5.0, 1.0))
-                        + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
-                       AS quality_score
-            FROM feat2
-        """,
+        "quality_profile": quality_sql,
         "winnowing_md5": """
             WITH norm AS (
                 SELECT doc_id,
@@ -1366,6 +1391,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "corpus_curation": f"""
+            WITH prof AS ({quality_sql}),
+            lang AS (
+                SELECT doc_id, {lang_case} AS lang_guess FROM documents
+            ),
+            keepers AS (
+                SELECT min(doc_id) AS doc_id
+                FROM (SELECT doc_id,
+                             md5(trim(regexp_replace(lower(text), '\\s+',
+                                 ' ', 'g'))) AS h
+                      FROM documents)
+                GROUP BY h
+            )
+            SELECT p.doc_id, l.lang_guess, p.quality_score, p.n_words
+            FROM prof p
+            JOIN lang l ON l.doc_id = p.doc_id
+            JOIN keepers k ON k.doc_id = p.doc_id
+            WHERE l.lang_guess = 'en' AND p.quality_score >= 0.5
+        """,
+
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, "
             "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens FROM documents"
