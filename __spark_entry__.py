@@ -535,6 +535,21 @@ def _q_quality_profile(spark, sf_dir):
 
 
 
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic hash sampling (reproducible corpus mixing): keep 90%
+    of English, 40% of German, 10% of everything else, by md5(doc_id)
+    bucket -- membership is a pure function of the row, stable across
+    partitionings/engines (unlike df.sample)."""
+    from sift_spark.operators.sampling import stratified_hash_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_hash_sample(
+        docs, {"en": 0.9, "de": 0.4}, stratum_col="lang",
+        key_col="doc_id", default_rate=0.1, seed=7,
+    ).select("doc_id", "lang")
+
+
 def _q_corpus_curation(spark, sf_dir):
     """End-to-end training-data curation filter in ONE pass over
     documents: language gate + quality-score gate + exact-dup keeper
@@ -792,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_profile": _q_quality_profile,
         "lang_id": _q_lang_id,
         "corpus_curation": _q_corpus_curation,
+        "stratified_sample": _q_stratified_sample,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1391,6 +1407,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
+                   1, 8))::BIGINT
+                  < CASE lang WHEN 'en' THEN 3865470566
+                              WHEN 'de' THEN 1717986918
+                              ELSE 429496729 END
+        """,
         "corpus_curation": f"""
             WITH prof AS ({quality_sql}),
             lang AS (

@@ -492,3 +492,45 @@ def test_connected_components_clusters_pairs(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_hash_sample_is_partitioning_invariant(spark, docs):
+    """Deterministic sampling must select the SAME rows regardless of
+    partition layout (df.sample does not) and track the requested rate."""
+    from sift_spark.operators.sampling import hash_sample
+
+    base = sorted(r["doc_id"] for r in
+                  hash_sample(docs, 0.3, "doc_id", seed=1).collect())
+    repart = sorted(r["doc_id"] for r in
+                    hash_sample(docs.repartition(7), 0.3, "doc_id",
+                                seed=1).collect())
+    assert base == repart
+    n = docs.count()
+    assert 0.2 * n < len(base) < 0.4 * n  # tracks the rate
+    # different seed -> different (but still deterministic) membership
+    other = sorted(r["doc_id"] for r in
+                   hash_sample(docs, 0.3, "doc_id", seed=2).collect())
+    assert other != base
+
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_hash_sample_rates(spark):
+    from sift_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_hash_sample(
+        df, {"en": 1.0, "de": 0.0}, "lang", "doc_id", default_rate=0.0
+    ).collect()
+    assert len(out) == 1000
+    assert all(r["lang"] == "en" for r in out)
+
+    mixed = stratified_hash_sample(
+        df, {"en": 0.5}, "lang", "doc_id", default_rate=0.1
+    )
+    counts = {r["lang"]: r["n"] for r in
+              mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 400 < counts.get("en", 0) < 600
+    assert 50 < counts.get("de", 0) < 160
