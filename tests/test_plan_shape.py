@@ -153,3 +153,55 @@ def test_minhash_signature_branch_single_shuffle(spark):
         minhash_signatures(char_shingles(docs, distinct=False), n_hashes=8)
     )
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_select_format_reuses_one_url_partitioning(spark):
+    """budget window (url), separator lag window (url) and the final
+    groupBy(url) must share ONE hash partitioning on url -- a refactor
+    that re-keys any stage adds a crawl-scale shuffle here."""
+    from sift_spark.operators.selection_op import (
+        budget_filter,
+        format_selected,
+    )
+
+    chunks = spark.createDataFrame(
+        [("u1", i, f"chunk {i} text", 8) for i in range(6)]
+        + [("u2", i, f"other {i}", 8) for i in range(4)],
+        ["url", "chunk_idx", "chunk_text", "n_units"],
+    )
+    ranked = chunks.withColumn("sel_rank", F.col("chunk_idx"))
+    plan = plan_of(format_selected(budget_filter(ranked, 40)))
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_winnowing_normalizes_text_once(spark):
+    """The whole-document regexp_replace must appear exactly once in the
+    optimized plan -- referencing it inside the per-position transform
+    lambda re-evaluates it per gram (O(doc_len^2) regex work per doc)."""
+    from sift_spark.operators.textstats import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "some document text to fingerprint")], ["doc_id", "text"]
+    )
+    optimized = (
+        winnowing_fingerprints(docs)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert optimized.count("regexp_replace") == 1, optimized
+
+
+def test_curation_broadcasts_keeper_side(spark):
+    """corpus_curation joins the (small) keeper-id table to the profile
+    projection: the join must not shuffle the full profile side -- either
+    a broadcast join or one exchange for the content-hash agg, never a
+    sort-merge on the documents scan itself."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["corpus_curation"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_of(df)
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    # keeper agg needs one exchange; the equi-join itself is broadcast
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
