@@ -536,6 +536,22 @@ def _q_quality_profile(spark, sf_dir):
 
 
 
+
+def _q_distinct_sketch(spark, sf_dir):
+    """KMV cardinality sketch over the distinct TERMS of the corpus
+    (Bar-Yossef et al. RANDOM'02): deterministic md5 minima, so the
+    ESTIMATE itself is bit-identical cross-engine. At crawl scale this
+    replaces the full-key-set COUNT(DISTINCT) shuffle with O(k) state
+    per partition."""
+    from sift_spark.operators.dedup import char_shingles
+    from sift_spark.operators.sketches import kmv_distinct_estimate
+
+    shingles = char_shingles(
+        _docs(spark, sf_dir), k=8, distinct=False
+    ).select("shingle")
+    return kmv_distinct_estimate(shingles, "shingle", k=128)
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Deterministic hash sampling (reproducible corpus mixing): keep 90%
     of English, 40% of German, 10% of everything else, by md5(doc_id)
@@ -808,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "corpus_curation": _q_corpus_curation,
         "stratified_sample": _q_stratified_sample,
+        "distinct_sketch": _q_distinct_sketch,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1407,6 +1424,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "distinct_sketch": """
+            WITH norm AS (
+                SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS t
+                FROM documents
+            ),
+            shingles AS (
+                SELECT substr(t, unnest(generate_series(1,
+                           greatest(length(t) - 7, 1))), 8) AS shingle
+                FROM norm
+            ),
+            minima AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                FROM shingles
+                ORDER BY h LIMIT 128
+            ),
+            agg AS (
+                SELECT count(*) AS k_used, max(h) AS kth_hash FROM minima
+            )
+            SELECT k_used, kth_hash,
+                   round(CASE WHEN k_used < 128 THEN k_used::DOUBLE
+                         ELSE 127.0 / (kth_hash /
+                              1152921504606846976.0) END, 4)
+                       AS distinct_estimate
+            FROM agg
+        """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),

@@ -534,3 +534,23 @@ def test_stratified_hash_sample_rates(spark):
               mixed.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert 400 < counts.get("en", 0) < 600
     assert 50 < counts.get("de", 0) < 160
+
+
+def test_kmv_distinct_estimate(spark):
+    """KMV sketch: exact below k, ~1/sqrt(k) relative error above it,
+    deterministic (md5), and partitioning-invariant."""
+    from sift_spark.operators.sketches import kmv_distinct_estimate
+
+    small = spark.range(100).select((F.col("id") % 37).alias("v"))
+    row = kmv_distinct_estimate(small, "v", k=256).first()
+    assert row["k_used"] == 37 and row["distinct_estimate"] == 37.0
+
+    big = spark.range(100_000).select((F.col("id") % 5000).alias("v"))
+    est = kmv_distinct_estimate(big, "v", k=256).first()["distinct_estimate"]
+    assert abs(est - 5000) / 5000 < 0.2  # 3 sigma at k=256
+
+    # same estimate regardless of partition layout
+    est2 = kmv_distinct_estimate(
+        big.repartition(13), "v", k=256
+    ).first()["distinct_estimate"]
+    assert est == est2
