@@ -248,3 +248,59 @@ def test_type_family_pseudo_selectors(selector, expected):
 def test_invalid_type_family_selectors(bad):
     with pytest.raises(css.SelectorError):
         css.compile_selector(bad)
+
+
+# ---- property-based selector invariants ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def small_html(draw):
+    """Random small element trees: 2 levels, varied tags/classes."""
+    tags = st.sampled_from(["p", "div", "span", "li", "h2"])
+    classes = st.sampled_from(["", "a", "b", "lead"])
+
+    def element(i, depth):
+        tag = draw(tags)
+        cls = draw(classes)
+        attr = f' class="{cls}"' if cls else ""
+        if depth > 0 and draw(st.booleans()):
+            inner = "".join(
+                element(j, depth - 1)
+                for j in range(draw(st.integers(0, 3)))
+            )
+        else:
+            inner = f"text{i}"
+        return f"<{tag}{attr}>{inner}</{tag}>"
+
+    body = "".join(element(i, 2) for i in range(draw(st.integers(1, 5))))
+    return f"<html><body>{body}</body></html>"
+
+
+@given(small_html())
+@settings(max_examples=150, deadline=None)
+def test_selector_algebra_invariants(html):
+    root = parse(html)
+
+    def ids_of(sel):
+        return [id(n) for n in css.select(root, sel)]
+
+    # :first-child is :nth-child(1); :last-child mirrors first on reverse
+    for tag in ("p", "div", "span", "*"):
+        assert ids_of(f"{tag}:first-child") == ids_of(f"{tag}:nth-child(1)")
+        # odd + even partition all positioned elements
+        odd = set(ids_of(f"{tag}:nth-child(odd)"))
+        even = set(ids_of(f"{tag}:nth-child(even)"))
+        assert odd.isdisjoint(even)
+        assert odd | even == set(ids_of(f"{tag}:nth-child(n)"))
+        # adjacent sibling is a subset of general sibling
+        assert set(ids_of(f"div + {tag}")) <= set(ids_of(f"div ~ {tag}"))
+        # X:not(.a) and X.a partition X
+        not_a = set(ids_of(f"{tag}:not(.a)"))
+        with_a = set(ids_of(f"{tag}.a"))
+        assert not_a.isdisjoint(with_a)
+        assert not_a | with_a == set(ids_of(tag))
+    # child results are a subset of descendant results
+    assert set(ids_of("body > p")) <= set(ids_of("body p"))
