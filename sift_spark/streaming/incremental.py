@@ -76,6 +76,52 @@ def stream_exact_dedup(spark, input_path, output_path, checkpoint_path,
     )
 
 
+def stream_curation(spark, input_path, output_path, checkpoint_path,
+                    lang="en", min_quality=0.5, watermark="1 hour",
+                    file_format="parquet"):
+    """Streaming training-data curation over a continuous document feed:
+    the batch corpus_curation gates (language + quality score) applied
+    stateless per row, then a watermarked near-identical drop on the
+    64-bit SimHash value -- docs whose simhash collides inside the
+    horizon are overwhelmingly boilerplate twins (identical or
+    whitespace-trivial variants), so ONE survives per horizon. State is
+    one 8-byte hash per surviving doc within the watermark, not history.
+    Full near-dup banding (hamming > 0) needs cross-row joins and stays
+    a periodic batch job (operators/dedup.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import simhash64_udf
+    from ..operators.textstats import lang_id_col, quality_cols
+
+    docs = (
+        spark.readStream.format(file_format)
+        .schema("doc_id long, ts timestamp, text string")
+        .load(input_path)
+    )
+    quality = quality_cols(F.col("text"))["quality_score"]
+    curated = (
+        docs.withColumn("lang_guess", lang_id_col(F.col("text")))
+        .withColumn("quality_score", quality)
+        .filter((F.col("lang_guess") == lang)
+                & (F.col("quality_score") >= min_quality))
+        .withColumn("simhash", simhash64_udf(F.col("text")))
+    )
+    deduped = (
+        curated.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
+    return (
+        deduped.select("doc_id", "ts", "lang_guess", "quality_score",
+                       "simhash")
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_host_rates(spark, input_path, output_path, checkpoint_path,
                       window="5 minutes", watermark="10 minutes",
                       file_format="parquet"):

@@ -161,3 +161,45 @@ def test_sessionize_fold_late_event_does_not_rewind_session_end():
         10 * MIN, 20 * MIN, 2, [5 * MIN], gap
     )
     assert closed == [] and state == (5 * MIN, 20 * MIN, 3)
+
+
+def test_stream_curation_filters_and_dedups(spark, tmp_path):
+    """Streaming curation: language + quality gates stateless, then a
+    watermarked exact-simhash drop keeps ONE of the identical twins."""
+    from datetime import datetime, timedelta
+
+    from sift_spark.streaming.incremental import stream_curation
+
+    t0 = datetime(2025, 6, 1, 8, 0, 0)
+    good = ("the quick brown fox jumps over the lazy dog and that is the "
+            "story of the day with plenty of the usual words to pass the "
+            "quality gates, including commas and sentences.")
+    rows = [
+        (1, t0, good),
+        (2, t0 + timedelta(minutes=1), good),        # identical twin
+        (3, t0 + timedelta(minutes=2), "der hund und die katze das ist "
+         "nicht gut und der rest von dem text ist auch nicht englisch"),
+        (4, t0 + timedelta(minutes=3), "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5"),
+        (5, t0 + timedelta(minutes=4), good.replace("fox", "wolf")),
+    ]
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).write.parquet(input_dir)
+
+    q = stream_curation(spark, input_dir, output_dir,
+                        str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    q.stop()
+
+    out = spark.read.parquet(output_dir).collect()
+    kept = sorted(r["doc_id"] for r in out)
+    # german (3) and digit-soup (4) filtered; one of the identical twins
+    # (1, 2) dropped; the wolf variant (5) differs in >0 simhash bits or
+    # collides -- accept either but the twins must collapse to one
+    assert 3 not in kept and 4 not in kept
+    assert len([d for d in kept if d in (1, 2)]) == 1
+    for row in out:
+        assert row["lang_guess"] == "en"
+        assert row["quality_score"] >= 0.5
