@@ -95,11 +95,15 @@ def _child_position(node, of_type=False):
 
 
 _PSEUDO_NAMES = frozenset((
-    "first-child", "last-child", "nth-child", "only-child",
-    "first-of-type", "last-of-type", "nth-of-type", "only-of-type",
+    "first-child", "last-child", "nth-child", "nth-last-child",
+    "only-child",
+    "first-of-type", "last-of-type", "nth-of-type", "nth-last-of-type",
+    "only-of-type",
     "empty", "not",
 ))
-_NTH_PSEUDOS = frozenset(("nth-child", "nth-of-type"))
+_NTH_PSEUDOS = frozenset((
+    "nth-child", "nth-of-type", "nth-last-child", "nth-last-of-type",
+))
 
 
 class _Simple:
@@ -164,6 +168,10 @@ class _Simple:
             if base == "only" and not (index == 1 and total == 1):
                 return False
             if base == "nth" and not _nth_matches(arg, index):
+                return False
+            if base == "nth-last" and not _nth_matches(
+                arg, total - index + 1
+            ):
                 return False
         return True
 

@@ -304,3 +304,26 @@ def test_selector_algebra_invariants(html):
         assert not_a | with_a == set(ids_of(tag))
     # child results are a subset of descendant results
     assert set(ids_of("body > p")) <= set(ids_of("body p"))
+
+
+@pytest.mark.parametrize("selector,expected", [
+    # counting from the END: article elements = p(a) p(b) div(c) p(d)
+    # span(s1) span(s2); nth-last-child(1) is the last child
+    ("article :nth-last-child(1)", ["s2"]),
+    ("p:nth-last-child(3)", ["d"]),
+    ("p:nth-last-of-type(1)", ["d"]),
+    ("p:nth-last-of-type(2)", ["b"]),
+    ("span:nth-last-of-type(odd)", ["s2"]),
+    ("p:nth-last-child(odd)", ["b", "d"]),  # a,b,d = 6,5,3 from the end
+])
+def test_nth_last_selectors(selector, expected):
+    assert _tids(selector) == expected
+
+
+def test_nth_last_equals_reversed_nth():
+    # :last-child == :nth-last-child(1) on every tag
+    for tag in ("p", "div", "span", "*"):
+        last = [id(n) for n in css.select(TYPE_DOC, f"{tag}:last-child")]
+        nth = [id(n) for n in
+               css.select(TYPE_DOC, f"{tag}:nth-last-child(1)")]
+        assert last == nth
