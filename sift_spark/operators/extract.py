@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from ..core.chunker import split_text
 from ..core.counters import CHARS, Counter
+from ..core.encoding import decode_html
 from ..core.pdftext import extract_pdf_text, is_pdf
 from ..core.pipeline import SiftParams, extract_document, transform_text
 from ..core.selection import BASE_SIZES, LARGE_TEXT_MULTIPLIER, TEXT_THRESHOLDS
@@ -54,7 +55,9 @@ def _decode(raw):
     if raw is None:
         return None
     if isinstance(raw, (bytes, bytearray)):
-        return bytes(raw).decode("utf-8", errors="replace")
+        # charset sniffing (BOM -> meta -> utf-8 -> windows-1252):
+        # crawl pages are not all UTF-8 (core/encoding.py)
+        return decode_html(raw)
     return str(raw)
 
 
