@@ -537,6 +537,45 @@ def _q_quality_profile(spark, sf_dir):
 
 
 
+
+def _q_site_boilerplate(spark, sf_dir):
+    """Cross-document template detection: chunks present on >= 60% of a
+    site's docs are boilerplate. Real word-group chunks from documents
+    (grouped by `source` as the site) plus two PLANTED template chunks --
+    a per-site header on every doc and a promo on even doc_ids (ratio
+    0.52) -- so the oracle is non-vacuous at both the 100% and
+    threshold-adjacent ratios."""
+    from sift_spark.operators.boilerplate import site_boilerplate_chunks
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    real = docs.select(
+        F.col("source").alias("site"),
+        F.col("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+            )
+        ).alias("chunk_text"),
+    )
+    header = docs.select(
+        F.col("source").alias("site"),
+        F.col("doc_id"),
+        F.concat(F.lit("site header for "), F.col("source"))
+        .alias("chunk_text"),
+    )
+    promo = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("source").alias("site"),
+        F.col("doc_id"),
+        F.concat(F.lit("promo banner for "), F.col("source"))
+        .alias("chunk_text"),
+    )
+    chunks = real.union(header).union(promo)
+    return site_boilerplate_chunks(chunks, min_ratio=0.5, min_docs=3)
+
+
 def _q_distinct_sketch(spark, sf_dir):
     """KMV cardinality sketch over the distinct TERMS of the corpus
     (Bar-Yossef et al. RANDOM'02): deterministic md5 minima, so the
@@ -825,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "stratified_sample": _q_stratified_sample,
         "distinct_sketch": _q_distinct_sketch,
+        "site_boilerplate": _q_site_boilerplate,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1424,6 +1464,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "site_boilerplate": """
+            WITH words AS (
+                SELECT source AS site, doc_id, string_split(text, ' ') AS w
+                FROM documents
+            ),
+            real_chunks AS (
+                SELECT site, doc_id,
+                       array_to_string(w[(i-1)*8+1 : i*8], ' ')
+                           AS chunk_text
+                FROM words,
+                     unnest(generate_series(
+                         1, CAST(ceil(len(w) / 8.0) AS INTEGER))) AS t(i)
+            ),
+            chunks AS (
+                SELECT site, doc_id, chunk_text FROM real_chunks
+                UNION ALL
+                SELECT source, doc_id, 'site header for ' || source
+                FROM documents
+                UNION ALL
+                SELECT source, doc_id, 'promo banner for ' || source
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            per_site AS (
+                SELECT site, count(DISTINCT doc_id) AS site_docs
+                FROM chunks GROUP BY site
+            ),
+            freq AS (
+                SELECT site, md5(chunk_text) AS chunk_hash,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM chunks GROUP BY site, md5(chunk_text)
+            )
+            SELECT f.site, f.chunk_hash, f.n_docs, p.site_docs,
+                   round(f.n_docs / p.site_docs::DOUBLE, 6) AS ratio
+            FROM freq f JOIN per_site p ON p.site = f.site
+            WHERE p.site_docs >= 3
+              AND round(f.n_docs / p.site_docs::DOUBLE, 6) >= 0.5
+        """,
         "distinct_sketch": """
             WITH norm AS (
                 SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))

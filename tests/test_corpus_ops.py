@@ -554,3 +554,35 @@ def test_kmv_distinct_estimate(spark):
         big.repartition(13), "v", k=256
     ).first()["distinct_estimate"]
     assert est == est2
+
+
+def test_site_boilerplate_detection_and_removal(spark):
+    """Chunks on >= ratio of a site's docs are template: detected by
+    (site, chunk-hash) frequency, removed by anti-join; small sites are
+    skipped (no statistical basis)."""
+    from sift_spark.operators.boilerplate import (
+        drop_site_boilerplate,
+        site_boilerplate_chunks,
+    )
+
+    rows = []
+    for d in range(10):  # site A: header on all, promo on half
+        rows.append(("a.com", d, "copyright footer of a dot com"))
+        rows.append(("a.com", d, f"unique article text number {d}"))
+        if d < 5:
+            rows.append(("a.com", d, "subscribe to our newsletter"))
+    rows += [("tiny.org", 0, "repeated"), ("tiny.org", 1, "repeated")]
+    chunks = spark.createDataFrame(rows, ["site", "doc_id", "chunk_text"])
+
+    boiler = site_boilerplate_chunks(chunks, min_ratio=0.5, min_docs=3)
+    got = {(r["site"], r["n_docs"], r["ratio"]) for r in boiler.collect()}
+    assert ("a.com", 10, 1.0) in got            # footer: every doc
+    assert ("a.com", 5, 0.5) in got             # promo: exactly threshold
+    assert not any(site == "tiny.org" for site, _, _ in got)  # < min_docs
+
+    cleaned = drop_site_boilerplate(chunks, boiler)
+    texts = {r["chunk_text"] for r in cleaned.filter(
+        F.col("site") == "a.com").collect()}
+    assert texts == {f"unique article text number {d}" for d in range(10)}
+    # tiny.org untouched (its chunks were never flagged)
+    assert cleaned.filter(F.col("site") == "tiny.org").count() == 2
