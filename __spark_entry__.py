@@ -538,6 +538,31 @@ def _q_quality_profile(spark, sf_dir):
 
 
 
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization collapse: two messy variants per resource
+    (case/port/fragment/tracking-param/param-order differences) built
+    deterministically from doc_id must canonicalize to ONE url with
+    n_variants = 2. All native expressions (operators/urlnorm.py)."""
+    from sift_spark.operators.urlnorm import canonical_url_col
+
+    docs = _docs(spark, sf_dir)
+    resource = (F.col("doc_id") / 2).cast("long").cast("string")
+    messy = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("HTTP://EXAMPLE.COM:80/item/"), resource,
+                 F.lit("?b=2&a=1&utm_source=news#frag")),
+    ).otherwise(
+        F.concat(F.lit("http://example.com/item/"), resource,
+                 F.lit("?a=1&b=2")),
+    )
+    return (
+        docs.select(canonical_url_col(messy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
 def _q_site_boilerplate(spark, sf_dir):
     """Cross-document template detection: chunks present on >= 60% of a
     site's docs are boilerplate. Real word-group chunks from documents
@@ -865,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "distinct_sketch": _q_distinct_sketch,
         "site_boilerplate": _q_site_boilerplate,
+        "url_canonical": _q_url_canonical,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1464,6 +1490,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "url_canonical": """
+            WITH messy AS (
+                SELECT CASE WHEN doc_id % 2 = 0
+                       THEN 'HTTP://EXAMPLE.COM:80/item/' ||
+                            CAST(doc_id // 2 AS VARCHAR) ||
+                            '?b=2&a=1&utm_source=news#frag'
+                       ELSE 'http://example.com/item/' ||
+                            CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'
+                       END AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT regexp_replace(trim(url), '#.*$', '') AS nofrag
+                FROM messy
+            ),
+            pieces AS (
+                SELECT
+                    lower(regexp_extract(nofrag,
+                        '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(nofrag,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1))
+                        AS hostport,
+                    regexp_extract(nofrag,
+                        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1)
+                        AS rawpath,
+                    regexp_extract(nofrag, '\\?(.*)$', 1) AS query
+                FROM parts
+            ),
+            canon AS (
+                SELECT scheme || '://' ||
+                    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                         THEN substr(hostport, 1, length(hostport) - 3)
+                         WHEN scheme = 'https' AND hostport LIKE '%:443'
+                         THEN substr(hostport, 1, length(hostport) - 4)
+                         ELSE hostport END ||
+                    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+                    CASE WHEN len(kept) > 0
+                         THEN '?' || array_to_string(kept, '&')
+                         ELSE '' END AS canonical_url
+                FROM (
+                    SELECT *,
+                        list_sort(list_filter(string_split(query, '&'),
+                            p -> p <> '' AND NOT regexp_extract(p,
+                                '^([^=]*)', 1) IN
+                                ('utm_source','utm_medium','utm_campaign',
+                                 'utm_term','utm_content','gclid','fbclid',
+                                 'msclkid','ref','mc_cid','mc_eid')))
+                            AS kept
+                    FROM pieces
+                )
+            )
+            SELECT canonical_url, count(*) AS n_variants
+            FROM canon GROUP BY canonical_url
+        """,
         "site_boilerplate": """
             WITH words AS (
                 SELECT source AS site, doc_id, string_split(text, ' ') AS w

@@ -586,3 +586,26 @@ def test_site_boilerplate_detection_and_removal(spark):
     assert texts == {f"unique article text number {d}" for d in range(10)}
     # tiny.org untouched (its chunks were never flagged)
     assert cleaned.filter(F.col("site") == "tiny.org").count() == 2
+
+
+def test_canonical_url_rules(spark):
+    from sift_spark.operators.urlnorm import canonical_url_col
+
+    cases = {
+        "HTTP://Example.COM:80/path?b=2&a=1#frag":
+            "http://example.com/path?a=1&b=2",
+        "https://example.com:443/": "https://example.com/",
+        "https://example.com": "https://example.com/",   # path default
+        "https://example.com/page?utm_source=x&id=7&fbclid=abc":
+            "https://example.com/page?id=7",
+        "http://example.com:8080/keep?z=1&y=2":           # non-default port
+            "http://example.com:8080/keep?y=2&z=1",
+        "https://example.com/?": "https://example.com/",  # empty query
+        "not a url": "not a url",                         # pass-through
+        "  https://Example.com/path/  ": "https://example.com/path/",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", canonical_url_col(F.col("url")).alias("c")).collect()}
+    for url, want in cases.items():
+        assert got[url] == want, url
