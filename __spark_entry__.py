@@ -539,6 +539,20 @@ def _q_quality_profile(spark, sf_dir):
 
 
 
+
+def _q_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) as native
+    boolean columns per document -- the public-standard web-corpus
+    filter set, each rule SQL-mirrored in the oracle."""
+    from sift_spark.operators.textstats import gopher_rules_cols
+
+    docs = _docs(spark, sf_dir)
+    rules = gopher_rules_cols(F.col("text"))
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in rules.items()]
+    )
+
+
 def _q_url_canonical(spark, sf_dir):
     """URL canonicalization collapse: two messy variants per resource
     (case/port/fragment/tracking-param/param-order differences) built
@@ -891,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": _q_distinct_sketch,
         "site_boilerplate": _q_site_boilerplate,
         "url_canonical": _q_url_canonical,
+        "gopher_rules": _q_gopher_rules,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1490,6 +1505,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "gopher_rules": """
+            WITH feat AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   w -> w <> '') AS words,
+                       list_filter(regexp_split_to_array(text, '\n'),
+                                   ln -> trim(ln) <> '') AS lines,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z'']+'), w -> w <> '') AS lwords
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       CASE WHEN len(words) > 0 THEN
+                           round(list_sum(list_transform(words,
+                               w -> length(w)))::DOUBLE / len(words), 6)
+                       ELSE 0.0 END AS mean_wl,
+                       greatest(len(lines), 1) AS n_lines,
+                       round(len(list_filter(lines, ln ->
+                           regexp_matches(trim(ln), '^[-*•]')))::DOUBLE
+                           / greatest(len(lines), 1), 6) AS bullet_ratio,
+                       round(len(list_filter(lines, ln ->
+                           regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+                           ::DOUBLE / greatest(len(lines), 1), 6)
+                           AS ellipsis_ratio,
+                       CASE WHEN len(words) > 0 THEN
+                           round(len(list_filter(words, w ->
+                               regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                               / len(words), 6)
+                       ELSE 0.0 END AS alpha_ratio,
+                       len(list_intersect(list_distinct(lwords),
+                           ['the','be','to','of','and','that','have',
+                            'with'])) AS stop_hits
+                FROM feat
+            )
+            SELECT doc_id,
+                   n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+                   mean_wl >= 3.0 AND mean_wl <= 10.0
+                       AS rule_mean_word_len,
+                   bullet_ratio <= 0.9 AS rule_bullet_lines,
+                   ellipsis_ratio <= 0.3 AS rule_ellipsis_lines,
+                   alpha_ratio >= 0.8 AS rule_alpha_words,
+                   stop_hits >= 2 AS rule_stopwords,
+                   (n_words >= 50 AND n_words <= 100000)
+                   AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                   AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+                   AND alpha_ratio >= 0.8 AND stop_hits >= 2
+                       AS passes_gopher
+            FROM m
+        """,
         "url_canonical": """
             WITH messy AS (
                 SELECT CASE WHEN doc_id % 2 = 0

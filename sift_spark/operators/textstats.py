@@ -99,6 +99,62 @@ def quality_cols(col):
     }
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_cols(col, min_words=50, max_words=100_000,
+                      min_mean_word_len=3.0, max_mean_word_len=10.0,
+                      max_bullet_ratio=0.9, max_ellipsis_ratio=0.3,
+                      min_alpha_word_ratio=0.8, min_stopword_hits=2):
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A1.1 -- the de-facto public web-corpus filter
+    set) as NATIVE boolean columns:
+
+      word count in [50, 100k]; mean word length in [3, 10]; <= 90% of
+      lines bullet-started; <= 30% of lines ellipsis-ended; >= 80% of
+      words contain an alphabetic char; >= 2 distinct Gopher stop words.
+
+    Returns a dict of rule name -> boolean column plus 'passes_gopher'
+    (AND of all). Every rule is SQL-reproducible for the oracle gate."""
+    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wl = F.when(n_words > 0, F.round(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        / n_words, 6)).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(col, r"\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = F.round(
+        F.size(F.filter(
+            lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")
+        )) / n_lines, 6)
+    ellipsis_ratio = F.round(
+        F.size(F.filter(
+            lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")
+        )) / n_lines, 6)
+    alpha_ratio = F.when(n_words > 0, F.round(
+        F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+        / n_words, 6)).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(words_col(col)), stop_arr
+    ))
+
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "rule_bullet_lines": bullet_ratio <= max_bullet_ratio,
+        "rule_ellipsis_lines": ellipsis_ratio <= max_ellipsis_ratio,
+        "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    passes = None
+    for rule in rules.values():
+        passes = rule if passes is None else (passes & rule)
+    rules["passes_gopher"] = passes
+    return rules
+
+
 def token_count_col(col):
     """BPE-ish token estimate: regex token classes (letters / digits /
     punctuation marks), native regexp_count."""

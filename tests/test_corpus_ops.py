@@ -609,3 +609,34 @@ def test_canonical_url_rules(spark):
         "url", canonical_url_col(F.col("url")).alias("c")).collect()}
     for url, want in cases.items():
         assert got[url] == want, url
+
+
+def test_gopher_rules_pass_and_fail(spark):
+    """Gopher rules: a healthy English paragraph passes all six; each
+    crafted pathology trips exactly its rule."""
+    from sift_spark.operators.textstats import gopher_rules_cols
+
+    healthy = ("The pipeline reads pages and extracts the main content "
+               "of each document so that training corpora can be built "
+               "with clean text. ") * 5  # ~110 words, stopwords present
+    short = "too few words here"
+    bullets = "\n".join(f"- bullet {i} of the list to have" for i in range(10))
+    symbols = " ".join("§§§" for _ in range(60)) + " the of and to be"
+    longwords = " ".join("x" * 15 for _ in range(60)) + " the of"
+
+    df = spark.createDataFrame(
+        [(1, healthy), (2, short), (3, bullets), (4, symbols),
+         (5, longwords)],
+        ["doc_id", "text"])
+    rules = gopher_rules_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[e.alias(n) for n, e in rules.items()]).collect()}
+
+    assert out[1]["passes_gopher"]
+    assert all(out[1][n] for n in rules)
+    assert not out[2]["rule_word_count"]
+    assert not out[3]["rule_bullet_lines"]
+    assert not out[4]["rule_alpha_words"]
+    assert not out[5]["rule_mean_word_len"]
+    for d in (2, 3, 4, 5):
+        assert not out[d]["passes_gopher"]
