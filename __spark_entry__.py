@@ -540,6 +540,15 @@ def _q_quality_profile(spark, sf_dir):
 
 
 
+
+def _q_repetition_profile(spark, sf_dir):
+    """Within-document repetition metrics (Gopher repetition filters):
+    duplicate-word fraction + most-frequent word/bigram shares."""
+    from sift_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_docs(spark, sf_dir))
+
+
 def _q_gopher_rules(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 A1.1) as native
     boolean columns per document -- the public-standard web-corpus
@@ -906,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_boilerplate": _q_site_boilerplate,
         "url_canonical": _q_url_canonical,
         "gopher_rules": _q_gopher_rules,
+        "repetition_profile": _q_repetition_profile,
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
@@ -1505,6 +1515,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "repetition_profile": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '\\s+'), x -> x <> '') AS words
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, len(words) AS n_words,
+                       round(CASE WHEN len(words) > 0 THEN
+                           1.0 - len(list_distinct(words))::DOUBLE
+                               / len(words)
+                       ELSE 0.0 END, 6) AS dup_word_frac
+                FROM w
+            ),
+            topw AS (
+                SELECT doc_id, max(n) AS top_n FROM (
+                    SELECT doc_id, gram, count(*) AS n FROM (
+                        SELECT doc_id, unnest(words) AS gram FROM w
+                    ) GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            ),
+            topb AS (
+                SELECT doc_id, max(n) AS top_n FROM (
+                    SELECT doc_id,
+                           words[i] || ' ' || words[i+1] AS gram,
+                           count(*) AS n
+                    FROM w, unnest(generate_series(1,
+                               greatest(len(words) - 1, 0))) AS t(i)
+                    GROUP BY doc_id, gram
+                ) GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.dup_word_frac,
+                   round(coalesce(tw.top_n, 0)::DOUBLE
+                         / greatest(b.n_words, 1), 6) AS top_word_share,
+                   round(coalesce(tb.top_n, 0)::DOUBLE
+                         / greatest(b.n_words - 1, 1), 6)
+                       AS top_bigram_share
+            FROM base b
+            LEFT JOIN topw tw ON tw.doc_id = b.doc_id
+            LEFT JOIN topb tb ON tb.doc_id = b.doc_id
+        """,
         "gopher_rules": """
             WITH feat AS (
                 SELECT doc_id,

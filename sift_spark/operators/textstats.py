@@ -155,6 +155,76 @@ def gopher_rules_cols(col, min_words=50, max_words=100_000,
     return rules
 
 
+def repetition_profile(docs_df, id_col="doc_id", text_col="text"):
+    """Within-document repetition metrics (the other half of the Gopher
+    filter set): duplicate-word fraction, most-frequent-word share, and
+    most-frequent-bigram share per document.
+
+    dup_word_frac is pure array math (no shuffle); the top-share metrics
+    need a per-(doc, gram) count -> explode + two-level aggregation,
+    shuffled on (doc, gram) then doc -- both keys are fine-grained, so
+    the shape holds at crawl scale."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    base = docs_df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.round(
+            F.when(
+                F.size(words) > 0,
+                1.0 - F.size(F.array_distinct(words)) / F.size(words),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+        words.alias("_w"),
+    )
+    grams = base.select(
+        id_col, "n_words",
+        F.explode(
+            F.flatten(F.array(
+                F.col("_w"),
+                F.zip_with(
+                    F.col("_w"),
+                    F.slice(F.col("_w"), 2, F.greatest(
+                        F.size(F.col("_w")) - 1, F.lit(1))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ))
+        ).alias("gram"),
+    ).filter(
+        # zip_with pads the trailing bigram with null -- drop it
+        F.col("gram").isNotNull()
+    ).withColumn("is_bigram", F.col("gram").contains(" "))
+    counts = grams.groupBy(id_col, "n_words", "is_bigram", "gram").agg(
+        F.count("*").alias("n")
+    )
+    tops = counts.groupBy(id_col, "n_words", "is_bigram").agg(
+        F.max("n").alias("top_n")
+    )
+    shares = tops.groupBy(id_col, "n_words").pivot(
+        "is_bigram", [False, True]
+    ).agg(F.first("top_n"))
+    return (
+        base.select(id_col, "dup_word_frac",
+                    F.col("n_words").alias("_nw"))
+        .join(shares, id_col, "left")
+        .withColumn("n_words", F.coalesce(F.col("n_words"), F.col("_nw")))
+        .select(
+            id_col,
+            "dup_word_frac",
+            F.round(
+                F.coalesce(F.col("false"), F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)), 6
+            ).alias("top_word_share"),
+            F.round(
+                F.coalesce(F.col("true"), F.lit(0))
+                / F.greatest(F.col("n_words") - 1, F.lit(1)), 6
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
 def token_count_col(col):
     """BPE-ish token estimate: regex token classes (letters / digits /
     punctuation marks), native regexp_count."""

@@ -640,3 +640,26 @@ def test_gopher_rules_pass_and_fail(spark):
     assert not out[5]["rule_mean_word_len"]
     for d in (2, 3, 4, 5):
         assert not out[d]["passes_gopher"]
+
+
+def test_repetition_profile_values(spark):
+    from sift_spark.operators.textstats import repetition_profile
+
+    rows = [
+        (1, "a a a a b"),               # top word 4/5, top bigram 3/4
+        (2, "one two three four five"),
+        (3, "go go go go go go"),
+        (4, "x"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert out[1]["dup_word_frac"] == 0.6
+    assert out[1]["top_word_share"] == 0.8
+    assert out[1]["top_bigram_share"] == 0.75
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[3]["top_word_share"] == 1.0
+    assert out[3]["top_bigram_share"] == 1.0
+    assert out[4]["top_word_share"] == 1.0
+    assert out[4]["top_bigram_share"] == 0.0  # no bigrams in one word
+    assert out[5]["top_word_share"] == 0.0    # empty doc never divides by 0
