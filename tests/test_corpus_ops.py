@@ -663,3 +663,30 @@ def test_repetition_profile_values(spark):
     assert out[4]["top_word_share"] == 1.0
     assert out[4]["top_bigram_share"] == 0.0  # no bigrams in one word
     assert out[5]["top_word_share"] == 0.0    # empty doc never divides by 0
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canonical(canonical(x)) == canonical(x) over a messy generated
+    batch -- the property dedup keys depend on."""
+    import itertools
+
+    from sift_spark.operators.urlnorm import canonical_url_col
+
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b.c:80", "x.org:443", "y.net:8080"]
+    paths = ["", "/", "/p/q", "/p%20q/"]
+    queries = ["", "?b=2&a=1", "?utm_source=t&z=9", "?only=", "?"]
+    frags = ["", "#f", "#a?b=1"]
+    urls = [f"{s}://{h}{p}{q}{f}" for s, h, p, q, f in
+            itertools.product(schemes, hosts, paths, queries, frags)]
+    urls += ["", "   ", "not a url", "mailto:x@y.z", "//proto-relative"]
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = canonical_url_col(F.col("url"))
+    out = df.select(
+        once.alias("c1"),
+        canonical_url_col(once).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
