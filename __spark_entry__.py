@@ -587,11 +587,11 @@ def _q_url_canonical(spark, sf_dir):
 
 
 def _q_site_boilerplate(spark, sf_dir):
-    """Cross-document template detection: chunks present on >= 60% of a
+    """Cross-document template detection: chunks present on >= 50% of a
     site's docs are boilerplate. Real word-group chunks from documents
     (grouped by `source` as the site) plus two PLANTED template chunks --
     a per-site header on every doc and a promo on even doc_ids (ratio
-    0.52) -- so the oracle is non-vacuous at both the 100% and
+    straddling 0.5) -- so the oracle is non-vacuous at both the 100% and
     threshold-adjacent ratios."""
     from sift_spark.operators.boilerplate import site_boilerplate_chunks
 

@@ -186,9 +186,11 @@ def get_tokenizer(path=None):
     relying on worker-process env -- worker daemons inherit env from the
     JVM at launch, so env set after session start never reaches them,
     and on a real cluster the env would have to be replicated per node."""
-    resolved = path or os.environ.get("SIFT_SPARK_CL100K_PATH")
-    if resolved and not os.path.exists(resolved):
-        resolved = None
+    resolved = None
+    for candidate in (path, os.environ.get("SIFT_SPARK_CL100K_PATH")):
+        if candidate and os.path.exists(candidate):
+            resolved = candidate
+            break
     if resolved not in _tokenizers:
         _tokenizers[resolved] = (
             BPETokenizer.from_file(resolved) if resolved

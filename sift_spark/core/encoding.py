@@ -50,6 +50,11 @@ def sniff_encoding(raw):
         label = (match.group(1) or match.group(2)).decode("ascii").lower()
         if label in _WIN1252_LABELS:
             return "windows-1252"
+        if label in ("utf-16", "utf-16le", "utf-16be", "utf16", "unicode"):
+            # WHATWG: a meta-declared UTF-16 label is remapped to UTF-8 --
+            # the declaration was found by an ASCII scan, so the stream
+            # cannot actually be UTF-16 (mislabeled pages are common)
+            return "utf-8"
         try:
             codecs.lookup(label)
             return label

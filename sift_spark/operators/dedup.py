@@ -188,6 +188,14 @@ def report_bucket_cap(observation, log=None):
     simhash_oversized_blocks monitor for a guaranteed (extra-job)
     answer."""
     log = log or logging.getLogger(__name__)
+    if observation._jo is None:
+        # never attached: the cap was off (max_bucket_size falsy), so the
+        # pipeline had nothing to observe
+        log.info(
+            "bucket-cap observation was never attached (cap disabled); "
+            "nothing to report"
+        )
+        return None
     try:
         metrics = observation.get
     except Exception:
@@ -409,37 +417,40 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
-    ).localCheckpoint()
+    try:
+        labels = edges.select(
+            F.col("src").alias("node")
+        ).distinct().withColumn("comp", F.col("node")).localCheckpoint()
 
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst)
-            .select(
-                "node", "comp",
-                F.least("comp", "nmin").alias("new_comp"),
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nmin"))
             )
-        ).localCheckpoint()
-        changed = updated.filter(
-            F.col("new_comp") != F.col("comp")
-        ).count()
-        labels = updated.select(
-            "node", F.col("new_comp").alias("comp")
-        )
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations; use large-star/small-star for this graph"
-        )
-    edges.unpersist()
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.dst)
+                .select(
+                    "node", "comp",
+                    F.least("comp", "nmin").alias("new_comp"),
+                )
+            ).localCheckpoint()
+            changed = updated.filter(
+                F.col("new_comp") != F.col("comp")
+            ).count()
+            labels = updated.select(
+                "node", F.col("new_comp").alias("comp")
+            )
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_iterations} iterations; use large-star/small-star "
+                "for this graph"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )

@@ -29,10 +29,11 @@ _HASH_SPACE = float(1 << 60)  # md5 prefix: 15 hex chars = 60 bits
 
 
 def kmv_hash_col(col):
-    """Value -> integer hash in [0, 2^60) (engine-portable md5 prefix)."""
-    return F.conv(
-        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    """Value -> integer hash in [0, 2^60): the SAME engine-portable md5
+    prefix the oracle-checked minhash twin uses (single source)."""
+    from .dedup import md5_hash60
+
+    return md5_hash60(col.cast("string"))
 
 
 def _partition_minima(k):

@@ -57,5 +57,5 @@ def canonical_url_col(col):
     ).otherwise(F.lit(""))
 
     return F.when(
-        scheme == "", url  # not an absolute URL: leave untouched
+        scheme == "", col  # not an absolute URL: pass through UNTOUCHED
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qstring))

@@ -166,9 +166,13 @@ def fold_session_events(start_us, last_us, n_events, ts_us_sorted, gap_us):
 
     Returns (closed_sessions, open_state). Timestamps are sorted within
     a micro-batch only, so an event may precede last_us (cross-batch
-    late arrival): if it is within the gap it folds into the open
-    session WITHOUT moving the session end backwards (min/max), instead
-    of rewinding last_us and mis-splitting subsequent events."""
+    late arrival): if it is within the gap of the open session's SPAN it
+    folds in WITHOUT moving the session end backwards (min/max), instead
+    of rewinding last_us and mis-splitting subsequent events. An event
+    older than start - gap cannot belong to the open session and closes
+    immediately as its own singleton (consecutive very-late events are
+    not re-sessionized among themselves -- documented limitation of
+    at-most-one-open-session state)."""
     closed = []
     for ts_us in ts_us_sorted:
         if start_us is None:
@@ -176,6 +180,8 @@ def fold_session_events(start_us, last_us, n_events, ts_us_sorted, gap_us):
         elif ts_us - last_us > gap_us:
             closed.append((start_us, last_us, n_events))
             start_us, last_us, n_events = ts_us, ts_us, 1
+        elif ts_us < start_us - gap_us:
+            closed.append((ts_us, ts_us, 1))
         else:
             start_us = min(start_us, ts_us)
             last_us = max(last_us, ts_us)

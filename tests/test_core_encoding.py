@@ -68,3 +68,12 @@ def test_spark_extraction_decodes_declared_latin1(spark):
     assert row["error"] is None
     assert "café" in row["text"]
     assert "�" not in row["text"]  # no replacement chars
+
+
+def test_meta_declared_utf16_remaps_to_utf8():
+    """WHATWG: a meta-declared UTF-16 label found by ASCII scan cannot be
+    real UTF-16 -- remap to UTF-8 instead of producing CJK mojibake."""
+    raw = (b'<html><head><meta charset="utf-16"></head><body>'
+           b"Hello plain ascii body</body></html>")
+    assert sniff_encoding(raw) == "utf-8"
+    assert "Hello plain ascii body" in decode_html(raw)

@@ -203,3 +203,25 @@ def test_stream_curation_filters_and_dedups(spark, tmp_path):
     for row in out:
         assert row["lang_guess"] == "en"
         assert row["quality_score"] >= 0.5
+
+
+def test_sessionize_fold_very_late_event_closes_as_singleton():
+    """An event older than start - gap cannot belong to the open session:
+    it closes immediately as its own singleton instead of stretching the
+    session arbitrarily far into the past."""
+    from sift_spark.streaming.incremental import fold_session_events
+
+    MIN = 60_000_000
+    gap = 30 * MIN
+    # open session [600, 600]; very-late event at 0 (10h earlier)
+    closed, state = fold_session_events(
+        600 * MIN, 600 * MIN, 1, [0], gap
+    )
+    assert closed == [(0, 0, 1)]
+    assert state == (600 * MIN, 600 * MIN, 1)
+    # barely-in-range late event still folds (start - gap boundary)
+    closed, state = fold_session_events(
+        600 * MIN, 600 * MIN, 1, [(600 - 30) * MIN], gap
+    )
+    assert closed == []
+    assert state == (570 * MIN, 600 * MIN, 2)
