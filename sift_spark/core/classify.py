@@ -28,7 +28,11 @@ EXTRANEOUS_STOPWORDS = frozenset(
     citat depart edu feder foundat https isbn refer""".split()
 )
 
-_TOKEN_RE = re.compile(r"\b[a-zA-Z]+\b")
+# re.ASCII pins \b to ASCII word chars, matching the Go reference's RE2
+# semantics (classify.go): without it, Python's Unicode \b extracts no
+# token from 'café' while RE2 extracts 'caf' -- divergent stopword
+# ratios on non-ASCII text
+_TOKEN_RE = re.compile(r"\b[a-zA-Z]+\b", re.ASCII)
 
 
 def tokenize(text):

@@ -236,12 +236,21 @@ class Counter:
                 return ""
             return " ".join(words[: min(remaining_units, len(words))])
         if self.method == CHARS:
-            if len(text) <= remaining_units:
+            # the reference indexes BYTES here (Go len()/slicing,
+            # chunk_selection.go:341-355), not runes -- mirror that so
+            # partial boundaries match on non-ASCII text. The
+            # no-boundary branch can split a rune in Go (emitting
+            # invalid UTF-8); Python strings cannot hold that, so the
+            # split rune is dropped (documented deviation, ASCII
+            # behavior identical).
+            data = text.encode("utf-8")
+            if len(data) <= remaining_units:
                 return text
             cutoff = remaining_units
-            while 0 < cutoff < len(text) and text[cutoff - 1] != " ":
+            while 0 < cutoff < len(data) and data[cutoff - 1] != 0x20:
                 cutoff -= 1
             if cutoff > 0:
-                return text[:cutoff].strip()
-            return text[:remaining_units]
+                # boundary is a space byte, so the prefix is whole runes
+                return data[:cutoff].decode("utf-8").strip()
+            return data[:remaining_units].decode("utf-8", errors="ignore")
         return self._tok.partial(text, remaining_units)

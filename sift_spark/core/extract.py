@@ -48,7 +48,12 @@ def _extract_with_selector(html, selector):
     # dropped) and joins with \n before a single conversion
     # (extract.go:72-90); we rebuild the same synthetic document
     synthetic = htmlparser.Node("root")
-    for match in matches:
+    for idx, match in enumerate(matches):
+        if idx:
+            # the reference joins the rewrapped match HTML with "\n"
+            # before converting; without it, adjacent INLINE matches
+            # (e.g. selector "a") fuse into one run ("onetwo")
+            synthetic.append(htmlparser.Node(None, text="\n"))
         wrapper = htmlparser.Node(match.tag)
         for child in match.children:
             wrapper.append(child.clone())

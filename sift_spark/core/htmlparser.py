@@ -163,12 +163,26 @@ _NAMED_ENTITIES = {
 
 _ENTITY_RE = re.compile(r"&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 
+# WHATWG numeric-character-reference replacement table: codes 0x80-0x9F
+# (C1 controls) remap to the windows-1252 glyphs -- legacy pages write
+# &#147;...&#148; for typographic quotes and x/net/html (the reference's
+# parser) applies this table
+_C1_REMAP = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
 
 def _decode_entity(match):
     body = match.group(1)
     if body.startswith("#"):
         try:
             code = int(body[2:], 16) if body[1] in "xX" else int(body[1:])
+            code = _C1_REMAP.get(code, code)
             if 0 < code <= 0x10FFFF and not (0xD800 <= code <= 0xDFFF):
                 return chr(code)
         except ValueError:
@@ -196,6 +210,10 @@ def parse(html):
     stack = [root]
     i = 0
     n = len(html)
+    # length-preserving ASCII-only lowercase copy for close-tag searches:
+    # str.lower() can CHANGE length ('İ' -> 2 chars), misaligning indices,
+    # and re-lowercasing per raw-text element is quadratic
+    search_html = html.translate(_ASCII_LOWER)
 
     while i < n:
         lt = html.find("<", i)
@@ -244,9 +262,7 @@ def parse(html):
         if gt < 0:
             break  # truncated tag at EOF
         attr_src = html[m.end():gt]
-        self_closing = attr_src.rstrip().endswith("/")
-        if self_closing:
-            attr_src = attr_src.rstrip()[:-1]
+        attr_src, self_closing = _split_self_closing(attr_src)
         attrs = _parse_attrs(attr_src)
         i = gt + 1
 
@@ -269,7 +285,7 @@ def parse(html):
 
         if tag in RAW_TEXT_ELEMENTS and not self_closing:
             # consume raw text until the matching close tag
-            close = html.lower().find(f"</{tag}", i)
+            close = search_html.find(f"</{tag}", i)
             raw_end = n if close < 0 else close
             if raw_end > i:
                 node.append(Node(None, text=html[i:raw_end]))
@@ -307,6 +323,34 @@ def _find_tag_end(html, start):
 def _append_text(parent, raw):
     if raw:
         parent.append(Node(None, text=unescape(raw)))
+
+
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def _split_self_closing(attr_src):
+    """(attr_src, self_closing) per HTML5: a trailing '/' marks
+    self-closing UNLESS it terminates an unquoted attribute value
+    (<a href=http://x.com/> keeps the slash in the value -- same as
+    x/net/html, the reference's parser)."""
+    stripped = attr_src.rstrip()
+    if not stripped.endswith("/"):
+        return attr_src, False
+    body = stripped[:-1]
+    tokens = body.split()
+    last = tokens[-1] if tokens else ""
+    if "=" in last and not body.endswith(("=", " ")):
+        value = last.split("=", 1)[1]
+        quote = value[:1]
+        if quote not in "\"'":
+            # unquoted value: the '/' belongs to it
+            return attr_src, False
+        if len(value) < 2 or not value.endswith(quote):
+            # quote still open when '/' appeared: part of the value
+            return attr_src, False
+    return body, True
 
 
 def _parse_attrs(src):

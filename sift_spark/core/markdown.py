@@ -116,7 +116,7 @@ def _render_block_element(node, list_depth):
         return [f"```\n{raw}\n```"] if raw.strip() else []
     if tag in ("table", "tbody", "thead", "tfoot"):
         rows = []
-        for section in ([node] if tag == "table" else [node]):
+        for section in (node,):
             for row in section.find_all({"tr"}):
                 cells = [
                     _finish_inline(_inline_children(cell)).replace("\n", " ")

@@ -84,8 +84,12 @@ def extract_pdf_text(data):
 
     if not streams:
         return "", "no decodable text content streams"
-    if b"/Type0" in data and b"/ToUnicode" not in data:
-        return "", "composite-font PDF without ToUnicode CMap"
+    if b"/Type0" in data:
+        # composite fonts need CID->Unicode CMap decoding, which this
+        # extractor does not implement; even WITH an embedded ToUnicode
+        # map, decoding 2-byte CIDs as latin-1 pairs emits garbage --
+        # route to the error column instead
+        return "", "composite-font (Type0) PDF not supported"
 
     lines = []
     for stream in streams:
@@ -102,6 +106,7 @@ def _extract_stream_text(stream):
     in_text = False
     numbers = []  # sliding numeric operand window
     last_ty = None
+    seg_start = 0  # index in `current` where the pending operand began
 
     def newline():
         if current:
@@ -130,8 +135,16 @@ def _extract_stream_text(stream):
                     newline()
                 last_ty = ty
             elif op in (b"'", b'"'):
+                # PDF semantics: ' / " move to the next line BEFORE
+                # showing their string -- but the operand token was
+                # already appended (it precedes the operator in the
+                # stream), so split it off, break, then re-append
+                tail = current[seg_start:]
+                del current[seg_start:]
                 newline()
+                current.extend(tail)
             numbers = []
+            seg_start = len(current)
             continue
         num = match.group("num")
         if num is not None:

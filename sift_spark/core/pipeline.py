@@ -143,15 +143,13 @@ def _apply_search_transformations(text, params, search_query):
     if not chunks:
         return ""
 
-    if search_query:
-        scored = lexical_search(chunks, search_query)
-        ordered = selector.prepare_for_search(scored)
-        context_before = params.context_before
-        context_after = params.context_after
-    else:
-        ordered = selector.prepare_for_strategy(chunks)
-        context_before = 0
-        context_after = 0
+    # callers guarantee a non-empty search_query (transform_text and
+    # apply_content_transformations both gate on it); the no-query
+    # strategy path lives in apply_content_transformations
+    scored = lexical_search(chunks, search_query)
+    ordered = selector.prepare_for_search(scored)
+    context_before = params.context_before
+    context_after = params.context_after
 
     return selector.select_with_context_config(
         ordered,

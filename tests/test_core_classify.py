@@ -79,3 +79,12 @@ def test_threshold_curve():
     mid = threshold(5, 11)  # exact middle of 11 chunks
     assert mid == pytest.approx(0.33)
     assert threshold(2, 10) > threshold(1, 10) > threshold(0, 10)
+
+
+def test_tokenize_ascii_boundary_parity():
+    """RE2 \\b is ASCII-only: 'café' must tokenize to ['caf'] exactly as
+    the Go reference does, not to [] (Python Unicode \\b)."""
+    from sift_spark.core.classify import tokenize
+
+    assert tokenize("café") == ["caf"]
+    assert tokenize("naïve test") == ["na", "ve", "test"]

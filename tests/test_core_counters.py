@@ -129,3 +129,20 @@ def test_fallback_pattern_is_engine_portable():
         ).fetchone()[0]
         assert tok.count(text) == duck, text
     con.close()
+
+
+def test_char_partial_uses_byte_semantics():
+    """The reference slices BYTES in chars mode (chunk_selection.go:
+    341-355): 'ééé ééé' at 5 remaining backs up through bytes, not
+    runes."""
+    from sift_spark.core.counters import CHARS, Counter
+
+    counter = Counter(CHARS)
+    # utf-8: 'ééé' = 6 bytes; no space within the first 5 bytes ->
+    # no boundary -> byte-slice cut, partial rune dropped
+    assert counter.partial("ééé ééé", 5) == "éé"
+    # boundary found when the budget reaches past the space (byte 7)
+    assert counter.partial("ééé ééé", 8) == "ééé"
+    # pure ASCII unchanged
+    assert counter.partial("abc def", 5) == "abc"
+    assert counter.partial("abcdef", 4) == "abcd"

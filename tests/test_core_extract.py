@@ -124,3 +124,15 @@ def test_complex_nested():
         "<section><p>Content</p></section></article></div></body></html>",
         selector="article")
     assert error is None and "Title" in result and "Content" in result
+
+
+def test_selector_inline_matches_keep_separation():
+    """Adjacent INLINE selector matches must not fuse: the reference
+    joins rewrapped matches with a newline before converting."""
+    from sift_spark.core.extract import to_markdown
+
+    html = '<p><a href="/1">one</a> <a href="/2">two</a></p>'
+    text, error = to_markdown(html, selector="a")
+    assert error is None
+    assert "onetwo" not in text
+    assert "one" in text and "two" in text

@@ -327,3 +327,42 @@ def test_nth_last_equals_reversed_nth():
         nth = [id(n) for n in
                css.select(TYPE_DOC, f"{tag}:nth-last-child(1)")]
         assert last == nth
+
+
+# ---- review-fix regressions ---------------------------------------------------------
+
+
+def test_rawtext_close_search_survives_length_changing_lowercase():
+    """str.lower() can CHANGE length ('İ' -> 2 chars); close-tag search
+    must use a length-preserving ASCII fold or indices misalign."""
+    root = parse("<title>İSTANBUL</title><p>body text</p>")
+    assert root.find_all({"title"})[0].inner_text() == "İSTANBUL"
+    assert root.find_all({"p"})[0].inner_text() == "body text"
+    # and case-insensitive close tags still work
+    root2 = parse("<SCRIPT>var x=1;</SCRIPT><p>after</p>")
+    assert root2.find_all({"p"})[0].inner_text() == "after"
+
+
+def test_trailing_slash_in_unquoted_attr_is_part_of_value():
+    """HTML5: '/' in an unquoted attribute value belongs to the value --
+    <a href=http://x.com/> is NOT self-closing."""
+    root = parse("<p><a href=http://x.com/>text</a> more</p>")
+    a = root.find_all({"a"})[0]
+    assert a.attrs["href"] == "http://x.com/"
+    assert a.inner_text() == "text"
+    root2 = parse("<p><a href=/about/>go</a></p>")
+    assert root2.find_all({"a"})[0].attrs["href"] == "/about/"
+    # genuine self-closing forms still close
+    root3 = parse('<p>a<br/>b<img src="x"/><input disabled/></p>')
+    assert root3.find_all({"p"})[0].inner_text() == "ab"
+    assert root3.find_all({"img"})[0].attrs["src"] == "x"
+
+
+def test_numeric_c1_charrefs_remap_to_windows1252_glyphs():
+    """WHATWG numeric-reference table: &#147;/&#148;/&#151; are legacy
+    windows-1252 typographic marks, not invisible C1 controls."""
+    assert unescape("&#147;quoted&#148;") == "“quoted”"
+    assert unescape("&#151;") == "—"
+    assert unescape("&#x93;x&#x94;") == "“x”"
+    assert unescape("&#128;") == "€"
+    assert unescape("&#65;") == "A"  # ordinary refs unchanged
