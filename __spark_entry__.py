@@ -756,31 +756,13 @@ def _q_pdf_extract(spark, sf_dir):
 
 
 def _q_winnowing_md5(spark, sf_dir):
-    """Winnowing fingerprints with an md5-derived gram hash (engine-
-    portable; the production variant uses xxhash64 -- rows-only)."""
-    docs = _docs(spark, sf_dir)
-    k, window = 8, 4
-    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select("doc_id", normalized.alias("_t"))
-    t = F.col("_t")
-    positions = F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1)))
-    grams = base.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                positions,
-                lambda i: F.conv(
-                    F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15), 16, 10
-                ).cast("long"),
-            )
-        ).alias("pos", "gram_hash"),
-    )
-    return (
-        grams.withColumn("win", (F.col("pos") / window).cast("int"))
-        .groupBy("doc_id", "win")
-        .agg(F.min("gram_hash").alias("fingerprint"))
-        .select("doc_id", "fingerprint")
-        .distinct()
+    """Winnowing fingerprints with the md5-derived gram hash (engine-
+    portable; the production variant uses xxhash64 -- rows-only).
+    Same operator, same sliding-window semantics."""
+    from sift_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        _docs(spark, sf_dir), k=8, window=4, portable_hash=True
     )
 
 
@@ -1496,14 +1478,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM norm
             ),
             hashed AS (
-                SELECT doc_id, (i - 1) // 4 AS win,
+                SELECT doc_id, i,
                        ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
                            AS gram_hash
                 FROM grams
+            ),
+            counted AS (
+                SELECT *, count(*) OVER (PARTITION BY doc_id) AS n_grams
+                FROM hashed
+            ),
+            wins AS (
+                SELECT doc_id, i, n_grams,
+                       min(gram_hash) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint
+                FROM counted
             )
-            SELECT DISTINCT doc_id, min(gram_hash) OVER (
-                       PARTITION BY doc_id, win) AS fingerprint
-            FROM hashed
+            SELECT DISTINCT doc_id, fingerprint FROM wins
+            WHERE i <= greatest(n_grams - 4, 0) + 1
         """,
         "ann_lsh_topk": _lsh_ann_oracle(),
         "embedding_neardup_exact": f"""

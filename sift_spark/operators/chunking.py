@@ -142,7 +142,13 @@ def field_type_cols(col):
     """(field_type, is_list) as native regexp column expressions
     (context_calculator.go:159-230). Pattern precedence matters."""
     trimmed = F.trim(col)
-    header_level = F.length(F.regexp_extract(trimmed, r"^(#{1,6})\s+.*", 1))
+    # tolerate leading TABS: Spark's trim strips spaces only, so the
+    # extraction regex must skip residual whitespace exactly like the
+    # match condition below -- otherwise '\t# Title' matched the header
+    # branch but extracted level 0, emitting the invalid field 'h0'
+    header_level = F.length(
+        F.regexp_extract(trimmed, r"^\s*(#{1,6})\s+.*", 1)
+    )
     field = (
         F.when(trimmed.rlike(r"^\s*#{1,6}\s+"),
                F.concat(F.lit("h"), F.least(header_level, F.lit(6)).cast("string")))

@@ -35,8 +35,11 @@ def normalized_text_col(col):
 
 def exact_duplicates(docs_df, id_col="doc_id", text_col="text"):
     """Hash-groupBy exact dedup -> (content_hash, n_dups, keep_id).
-    Groups with n_dups > 1 are duplicate sets; keep_id = min id."""
-    hashed = docs_df.select(
+    Groups with n_dups > 1 are duplicate sets; keep_id = min id.
+    Null-text rows (errored extractions) are NOT content and are
+    excluded -- md5(null) is null and a null group would lump N distinct
+    failures into one fake duplicate set."""
+    hashed = docs_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.md5(normalized_text_col(F.col(text_col))).alias("content_hash"),
     )
@@ -46,12 +49,17 @@ def exact_duplicates(docs_df, id_col="doc_id", text_col="text"):
 
 
 def dedup_exact(docs_df, id_col="doc_id", text_col="text"):
-    """Keep one representative per exact-duplicate group (the min id)."""
-    hashed = docs_df.withColumn(
+    """Keep one representative per exact-duplicate group (the min id).
+    Null-text rows pass through untouched: md5(null) is null and a
+    null-unsafe equi-join would silently DROP every errored row."""
+    with_text = docs_df.filter(F.col(text_col).isNotNull())
+    null_text = docs_df.filter(F.col(text_col).isNull())
+    hashed = with_text.withColumn(
         "content_hash", F.md5(normalized_text_col(F.col(text_col)))
     )
     keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
-    return hashed.join(keep, ["content_hash", id_col]).drop("content_hash")
+    kept = hashed.join(keep, ["content_hash", id_col]).drop("content_hash")
+    return kept.unionByName(null_text)
 
 
 def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
@@ -148,6 +156,13 @@ def _resolve_n_hashes(sig_df, n_hashes):
 def _band_table(sig_df, n_bands, n_hashes, id_col):
     """(id, band_idx, band_hash) -- one xxhash64 per band over the sliced
     signature, native posexplode (no UDF, no action)."""
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        # silent truncation would drop trailing hashes (recall change with
+        # no signal); rows_per_band=0 would slice empty arrays and make
+        # EVERY doc collide in every band (full O(n^2) blowup)
+        raise ValueError(
+            f"n_bands ({n_bands}) must evenly divide n_hashes ({n_hashes})"
+        )
     rows_per_band = n_hashes // n_bands
     return sig_df.select(
         F.col(id_col),
@@ -340,13 +355,16 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
             )
             .agg(F.count("*").alias("n_common"))
         )
+    # no broadcast hint: `sizes` is one row PER DOCUMENT -- forcing a
+    # broadcast at crawl scale would collect the whole table to the
+    # driver. AQE broadcasts it when it is actually small.
     result = (
         common.join(
-            F.broadcast(sizes.withColumnRenamed(id_col, "id_a")
-                        .withColumnRenamed("n_shingles", "size_a")), "id_a")
+            sizes.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("n_shingles", "size_a"), "id_a")
         .join(
-            F.broadcast(sizes.withColumnRenamed(id_col, "id_b")
-                        .withColumnRenamed("n_shingles", "size_b")), "id_b")
+            sizes.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("n_shingles", "size_b"), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common")

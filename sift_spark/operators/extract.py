@@ -61,6 +61,14 @@ def _decode(raw):
     return str(raw)
 
 
+@F.pandas_udf(T.StringType())
+def decode_html_udf(html: pd.Series) -> pd.Series:
+    """Charset-sniffed decode as a column (BOM -> meta -> utf-8 ->
+    win-1252); keeps streaming/relational paths byte-consistent with the
+    batch extraction kernel's decoding."""
+    return html.map(lambda raw: None if raw is None else decode_html(raw))
+
+
 def _run_one(html_bytes, params, counter):
     """Per-document kernel shared by the batch UDFs."""
     if html_bytes is None:
@@ -138,7 +146,13 @@ def make_markdown_udf(params: SiftParams):
                 texts.append(None)
                 errors.append("no content")
                 continue
-            markdown, error = extract_document(_decode(raw), params)
+            try:
+                markdown, error = extract_document(_decode(raw), params)
+            except Exception as exc:  # warn-and-continue: one bad page
+                # must not kill the task (same policy as _run_one)
+                markdown, error = None, (
+                    f"extraction failed: {type(exc).__name__}: {exc}"
+                )
             texts.append(markdown if error is None else None)
             errors.append(error)
         return pd.DataFrame({"text": texts, "error": errors})

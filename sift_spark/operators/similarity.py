@@ -89,9 +89,19 @@ def lsh_cosine_topk(emb_df, query_vec, k=10, n_planes=8, seed=42,
         return bucket
 
     query_sig = signature([float(v) for v in query_vec])
-    probes = [query_sig]
-    if probe_hamming >= 1:
-        probes += [query_sig ^ (1 << i) for i in range(n_planes)]
+    # all signatures within probe_hamming bits (previously only 1-bit
+    # flips were generated regardless of the parameter, silently capping
+    # recall); probe count is sum_h C(n_planes, h) -- driver-side only
+    import itertools
+
+    probe_set = {query_sig}
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_planes), h):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probe_set.add(query_sig ^ flip)
+    probes = sorted(probe_set)
 
     vec = F.col(vec_col).cast("array<double>")
     bucketed = emb_df.withColumn("bucket", hyperplane_bucket_col(vec, planes))

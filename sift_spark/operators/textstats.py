@@ -242,10 +242,21 @@ def fingerprint_col(col):
 
 
 def winnowing_fingerprints(docs_df, k=8, window=4, id_col="doc_id",
-                           text_col="text"):
-    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
-    keep the min hash of each sliding window -> (id, fingerprint) set.
-    Native: shingle explode + floor-window min aggregation."""
+                           text_col="text", portable_hash=False):
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram hashes, keep the
+    min of each SLIDING window of `window` consecutive grams, dedupe ->
+    (id, fingerprint) set. Sliding (not tumbling) windows are what give
+    winnowing its guarantee: any shared substring of length >= window +
+    k - 1 yields at least one shared fingerprint regardless of
+    alignment. Documents with fewer than `window` grams degrade to their
+    single overall min (still fingerprinted).
+
+    portable_hash=True uses the md5-derived 60-bit hash (DuckDB-oracle
+    reproducible); the default xxhash64 is the production form."""
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash60
+
     # materialize the normalized text ONCE per row before the per-position
     # transform: referencing the regexp_replace expression inside the
     # lambda re-evaluates it for every gram position (O(doc_len^2) regex
@@ -257,20 +268,31 @@ def winnowing_fingerprints(docs_df, k=8, window=4, id_col="doc_id",
     positions = F.sequence(
         F.lit(1), F.greatest(F.length("_t") - (k - 1), F.lit(1))
     )
+    if portable_hash:
+        def gram_hash(i):
+            return md5_hash60(F.col("_t").substr(i, F.lit(k)))
+    else:
+        def gram_hash(i):
+            return F.xxhash64(F.col("_t").substr(i, F.lit(k)))
     grams = norm_docs.select(
         F.col(id_col),
         F.posexplode(
-            F.transform(
-                positions,
-                lambda i: F.xxhash64(F.col("_t").substr(i, F.lit(k))),
-            )
+            F.transform(positions, gram_hash)
         ).alias("pos", "gram_hash"),
     )
+    slide = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    per_doc = Window.partitionBy(id_col)
     return (
-        grams.withColumn("win", (F.col("pos") / window).cast("int"))
-        .groupBy(id_col, "win")
-        .agg(F.min("gram_hash").alias("fingerprint"))
-        .select(id_col, "fingerprint")
+        grams.withColumn("win_min", F.min("gram_hash").over(slide))
+        .withColumn("n_grams", F.count("*").over(per_doc))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - window, F.lit(0))
+        )
+        .select(id_col, F.col("win_min").alias("fingerprint"))
         .distinct()
     )
 

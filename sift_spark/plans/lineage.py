@@ -84,8 +84,21 @@ def commit(spark, extracted_df, bytes_in_df, output_dir, run_id):
         .parquet(data_path(output_dir))
     )
 
+    # metrics come from the JUST-WRITTEN parquet, not from extracted_df:
+    # aggregating the un-persisted plan would re-run the entire upstream
+    # extraction UDF a second time (doubling the job at crawl scale).
+    # bytes_in_df (one row per pending part, no UDF in its lineage)
+    # doubles as the this-run part list so previously-completed parts in
+    # the output directory are excluded.
+    bytes_in_df = bytes_in_df.persist()  # scanned for parts AND bytes
+    this_run_parts = bytes_in_df.select("part_id")
+    written = (
+        spark.read.parquet(data_path(output_dir))
+        .withColumn("part_id", F.col("part_id").cast("int"))
+        .join(this_run_parts, "part_id")
+    )
     metrics = (
-        extracted_df.groupBy("part_id")
+        written.groupBy("part_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
@@ -107,7 +120,13 @@ def commit(spark, extracted_df, bytes_in_df, output_dir, run_id):
         )
     )
     metrics.write.mode("append").parquet(lineage_path(output_dir))
-    return metrics
+    bytes_in_df.unpersist()
+    # return the COMMITTED rows, not the lazy metrics plan: re-collecting
+    # that plan after the commit would re-resolve `pending` against the
+    # now-updated lineage (empty) and yield nothing
+    return spark.read.parquet(lineage_path(output_dir)).filter(
+        F.col("run_id") == run_id
+    )
 
 
 def read_extracted(spark, output_dir):

@@ -50,6 +50,7 @@ def stream_exact_dedup(spark, input_path, output_path, checkpoint_path,
     from pyspark.sql import functions as F
 
     from ..operators.dedup import normalized_text_col
+    from ..operators.extract import decode_html_udf
     from ..sources.fixtures import PAGES_SCHEMA
 
     pages = (
@@ -57,9 +58,12 @@ def stream_exact_dedup(spark, input_path, output_path, checkpoint_path,
         .schema(PAGES_SCHEMA)
         .load(input_path)
     )
+    # charset-sniffed decode (same path as batch extraction): a fixed
+    # utf-8 decode hashed non-UTF-8 pages differently than the batch
+    # dedup this stream is documented to complement
     hashed = pages.withColumn(
         "content_hash",
-        F.md5(normalized_text_col(F.decode(F.col("html"), "utf-8"))),
+        F.md5(normalized_text_col(decode_html_udf(F.col("html")))),
     )
     deduped = (
         hashed.withWatermark("warc_ts", watermark)
@@ -247,7 +251,11 @@ def stream_sessionize(spark, input_path, output_path, checkpoint_path,
             )
             closed.extend(batch_closed)
         state.update((start_us, last_us, n_events))
-        state.setTimeoutDuration(60 * 1000)
+        # flush horizon must be AT LEAST the session gap: a shorter
+        # processing-time timeout (the old fixed 60 s vs a 30-min gap)
+        # emitted open sessions early and split them when the user's
+        # next in-gap event arrived
+        state.setTimeoutDuration(max(gap_us // 1000, 60 * 1000))
         if closed:
             yield pd.DataFrame({
                 "user_id": [user_id] * len(closed),

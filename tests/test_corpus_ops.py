@@ -690,3 +690,66 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_dedup_exact_passes_null_text_through(spark):
+    """md5(null) is null: null-text rows (errored extractions) must pass
+    through dedup untouched instead of vanishing in the null-unsafe
+    equi-join, and must not form a fake duplicate group."""
+    from sift_spark.operators.dedup import dedup_exact, exact_duplicates
+
+    rows = [(1, "same text"), (2, "same text"), (3, None), (4, None),
+            (5, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_exact(df).collect())
+    assert kept == [1, 3, 4, 5]  # null rows kept, dup collapsed
+    groups = exact_duplicates(df).collect()
+    assert all(g["content_hash"] is not None for g in groups)
+    assert sum(g["n_dups"] for g in groups) == 3  # nulls excluded
+
+
+def test_band_table_validates_band_count(spark):
+    from sift_spark.operators.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame([(1, "some text to shingle")],
+                               ["doc_id", "text"])
+    sigs = minhash_signatures(char_shingles(df, distinct=False), 32)
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, n_bands=6, n_hashes=32)
+    with pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, n_bands=64, n_hashes=32)
+
+
+def test_winnowing_guarantee_survives_alignment_shift(spark):
+    """Schleimer's guarantee needs SLIDING windows: a one-character
+    prepend shifts every gram position, and the fingerprint sets must
+    still overlap heavily (tumbling windows lose this)."""
+    from sift_spark.operators.textstats import winnowing_fingerprints
+
+    a = ("the quick brown fox jumps over the lazy dog near the riverbank "
+         "while the miller sifts flour into the evening air")
+    df = spark.createDataFrame([(1, a), (2, "x" + a)], ["doc_id", "text"])
+    fps = winnowing_fingerprints(df, k=8, window=4).collect()
+    s1 = {r["fingerprint"] for r in fps if r["doc_id"] == 1}
+    s2 = {r["fingerprint"] for r in fps if r["doc_id"] == 2}
+    assert len(s1 & s2) >= 0.8 * len(s1)
+    # short doc (< window grams) still gets its single min fingerprint
+    short = spark.createDataFrame([(9, "tiny text")], ["doc_id", "text"])
+    assert winnowing_fingerprints(short, k=8, window=4).count() == 1
+
+
+def test_lsh_multiprobe_hamming2_expands_probes(spark, embeddings):
+    from sift_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    query = list(embeddings.first()["embedding"])
+    brute = [r["vec_id"] for r in cosine_topk(embeddings, query, k=5).collect()]
+    h1 = {r["vec_id"] for r in
+          lsh_cosine_topk(embeddings, query, k=5, probe_hamming=1).collect()}
+    h2 = {r["vec_id"] for r in
+          lsh_cosine_topk(embeddings, query, k=5, probe_hamming=2).collect()}
+    # wider probe never loses results and recall is monotone
+    assert len(set(brute) & h2) >= len(set(brute) & h1)
