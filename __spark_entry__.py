@@ -247,6 +247,30 @@ def _q_budget_cumsum(spark, sf_dir):
 
 
 
+
+def _word_chunks(docs, site_col=None, width=8):
+    """(url-or-site, doc_id?, chunk_idx, base) 8-word chunks -- the ONE
+    Spark-side definition mirrored by the DuckDB oracle CTEs of
+    select_format and site_boilerplate; keep all four in lockstep."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * width + 1, width), " "),
+    )
+    if site_col:
+        return docs.select(
+            F.col(site_col).alias("site"),
+            F.col("doc_id"),
+            F.posexplode(chunk_arr).alias("chunk_idx", "base"),
+        )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.posexplode(chunk_arr).alias("chunk_idx", "base"),
+    )
+
+
 def _q_select_format(spark, sf_dir):
     """Relational twin of the select->format path (SURVEY §2.6-2.8,
     VERDICT r2 next-step 6): word-group chunks over documents ->
@@ -260,19 +284,7 @@ def _q_select_format(spark, sf_dir):
         format_selected,
     )
 
-    docs = _docs(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
-    base_chunks = docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
-        .alias("url"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
-            )
-        ).alias("chunk_idx", "base"),
-    )
+    base_chunks = _word_chunks(_docs(spark, sf_dir))
     # punctuate every third chunk so BOTH separator branches fire
     # (sentence-final + len>40 -> blank line, otherwise newline)
     chunks = base_chunks.select(
@@ -368,9 +380,12 @@ def _q_minhash_neardup_md5(spark, sf_dir):
     hash (oracle-checked; the production xxhash64 variant is rows-only)."""
     from sift_spark.operators.dedup import minhash_near_duplicates
 
+    # max_bucket_size=None: the DuckDB twin is an UNCAPPED band join,
+    # so the Spark side must not silently drop hot buckets -- the
+    # default-on cap belongs to the production xxhash64 path
     return minhash_near_duplicates(
         _docs(spark, sf_dir), k=8, n_hashes=16, n_bands=4, min_jaccard=0.5,
-        portable_hash=True,
+        portable_hash=True, max_bucket_size=None,
     )
 
 
@@ -387,7 +402,7 @@ def _q_dedup_components(spark, sf_dir):
 
     pairs = minhash_near_duplicates(
         _docs(spark, sf_dir), k=8, n_hashes=16, n_bands=4, min_jaccard=0.5,
-        portable_hash=True,
+        portable_hash=True, max_bucket_size=None,
     )
     return connected_components(pairs)
 
@@ -403,7 +418,7 @@ def _q_simhash_md5(spark, sf_dir):
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+            F.filter(F.split(F.lower(F.col("text")), r"[ \t\r\n\f]+"),
                      lambda t: t != "")
         ).alias("tok"),
     )
@@ -429,8 +444,9 @@ def _q_simhash_pairs_md5(spark, sf_dir):
     blocking is lossless at max_hamming=3."""
     from sift_spark.operators.dedup import simhash_pairs_from_hashes
 
+    # uncapped: the all-pairs oracle keeps every pair
     return simhash_pairs_from_hashes(
-        _q_simhash_md5(spark, sf_dir), max_hamming=3
+        _q_simhash_md5(spark, sf_dir), max_hamming=3, max_bucket_size=None
     )
 
 
@@ -596,17 +612,8 @@ def _q_site_boilerplate(spark, sf_dir):
     from sift_spark.operators.boilerplate import site_boilerplate_chunks
 
     docs = _docs(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
-    real = docs.select(
-        F.col("source").alias("site"),
-        F.col("doc_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " "),
-            )
-        ).alias("chunk_text"),
+    real = _word_chunks(docs, site_col="source").select(
+        "site", "doc_id", F.col("base").alias("chunk_text")
     )
     header = docs.select(
         F.col("source").alias("site"),
@@ -1359,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups,
                    min(doc_id) AS keep_id
             FROM documents
+            WHERE text IS NOT NULL
             GROUP BY 1
         """,
         "ngram_jaccard": """
@@ -1736,7 +1744,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT doc_id,
                              md5(trim(regexp_replace(lower(text), '\\s+',
                                  ' ', 'g'))) AS h
-                      FROM documents)
+                      FROM documents WHERE text IS NOT NULL)
                 GROUP BY h
             )
             SELECT p.doc_id, l.lang_guess, p.quality_score, p.n_words

@@ -141,7 +141,14 @@ def main(argv=None):
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     queries = _build_queries(spark, args.sf_dir)
     if args.queries:
-        wanted = args.queries.split(",")
+        wanted = [name.strip() for name in args.queries.split(",")
+                  if name.strip()]
+        unknown = sorted(set(wanted) - set(queries))
+        if unknown:
+            # a typo must not print a "passing" empty benchmark record
+            print(f"unknown queries: {', '.join(unknown)}; "
+                  f"known: {', '.join(sorted(queries))}", file=sys.stderr)
+            return 2
         queries = {k: v for k, v in queries.items() if k in wanted}
 
     # corpus stats for throughput metrics

@@ -100,19 +100,27 @@ def main(argv=None):
     )
     parser.add_argument("sources", nargs="*", default=[])
     parser.add_argument("-s", "--selector", default="")
-    parser.add_argument("-t", "--token-limit", type=int, default=0)
-    parser.add_argument("-w", "--word-limit", type=int, default=0)
-    parser.add_argument("-c", "--character-limit", type=int, default=0)
+    # mutually-exclusive groups mirror the reference's
+    # MarkFlagsMutuallyExclusive sets (cmd/sift/main.go)
+    limits = parser.add_mutually_exclusive_group()
+    limits.add_argument("-t", "--token-limit", type=int, default=0)
+    limits.add_argument("-w", "--word-limit", type=int, default=0)
+    limits.add_argument("-c", "--character-limit", type=int, default=0)
     parser.add_argument("--search", default="")
-    parser.add_argument("--beginning", action="store_true")
-    parser.add_argument("--middle", action="store_true")
-    parser.add_argument("--end", action="store_true")
+    strategies = parser.add_mutually_exclusive_group()
+    strategies.add_argument("--beginning", action="store_true")
+    strategies.add_argument("--middle", action="store_true")
+    strategies.add_argument("--end", action="store_true")
     parser.add_argument("--context-tokens", type=int, nargs="?", const=200,
                         default=None)
     parser.add_argument("--include-all", action="store_true")
-    parser.add_argument("--md", action="store_true")
-    parser.add_argument("--text", action="store_true")
-    parser.add_argument("--json", action="store_true")
+    # accepted for surface parity but NON-FUNCTIONAL, exactly like the
+    # reference: cfg.OutputFormat is never consumed (sift.go:79-104 dead
+    # flags); output is always the plain result text
+    formats = parser.add_mutually_exclusive_group()
+    formats.add_argument("--md", action="store_true")
+    formats.add_argument("--text", action="store_true")
+    formats.add_argument("--json", action="store_true")
     parser.add_argument("-q", "--quiet", action="store_true")
     args = parser.parse_args(argv)
 
@@ -145,12 +153,9 @@ def main(argv=None):
 
     combined = "\n\n".join(extracted)
     result = transform_text(combined, params)
-    if args.json:
-        import json
-
-        print(json.dumps({"text": result}))
-    else:
-        print(result, end="")
+    # always the plain result (reference: fmt.Print(result); the format
+    # flags are parsed but never consumed, main.go:168-176)
+    print(result, end="")
     return 0
 
 

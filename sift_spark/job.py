@@ -162,6 +162,9 @@ def main(argv=None):
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="sift-spark-job", cores=args.cores)
     pages = spark.read.parquet(args.input)
     metrics = run_extraction_job(
@@ -176,10 +179,11 @@ def main(argv=None):
         F.sum("n_docs"), F.sum("n_errors"), F.sum("bytes_in"), F.sum("bytes_out")
     ).first()
     print(
-        f"processed docs={summary[0]} errors={summary[1]} "
-        f"bytes_in={summary[2]} bytes_out={summary[3]}"
+        f"processed docs={summary[0] or 0} errors={summary[1] or 0} "
+        f"bytes_in={summary[2] or 0} bytes_out={summary[3] or 0}"
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

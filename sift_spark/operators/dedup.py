@@ -29,8 +29,11 @@ from pyspark.sql import types as T
 
 
 def normalized_text_col(col):
-    """Whitespace/case normalization for content hashing."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """Whitespace/case normalization for content hashing. The explicit
+    class (not \s) keeps Spark's Java regex and the DuckDB oracle's RE2
+    agreeing on \x0b (Java \s includes vertical tab, RE2 \s does
+    not)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\r\n\f]+", " "))
 
 
 def exact_duplicates(docs_df, id_col="doc_id", text_col="text"):

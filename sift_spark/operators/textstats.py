@@ -20,7 +20,9 @@ LANG_MARKERS = {
     "fr": ["le", "la", "les", "et", "est", "que", "dans"],
 }
 
-TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# explicit whitespace class: Java \s includes \x0b, RE2 (DuckDB) does
+# not -- the oracle gate needs both engines to agree
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\r\n\f]"
 
 
 def words_col(col):
@@ -52,7 +54,7 @@ def quality_cols(col):
     n_chars, n_words, mean_word_len, punct_ratio, digit_ratio,
     upper_ratio, stopword_ratio, quality_score in [0,1]."""
     n_chars = F.length(col)
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(col, r"[ \t\r\n\f]+"), lambda w: w != "")
     n_words = F.size(words)
     total_word_chars = F.aggregate(
         words, F.lit(0), lambda acc, w: acc + F.length(w)
@@ -116,7 +118,7 @@ def gopher_rules_cols(col, min_words=50, max_words=100_000,
 
     Returns a dict of rule name -> boolean column plus 'passes_gopher'
     (AND of all). Every rule is SQL-reproducible for the oracle gate."""
-    words = F.filter(F.split(col, r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(col, r"[ \t\r\n\f]+"), lambda w: w != "")
     n_words = F.size(words)
     mean_wl = F.when(n_words > 0, F.round(
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
@@ -165,7 +167,7 @@ def repetition_profile(docs_df, id_col="doc_id", text_col="text"):
     shuffled on (doc, gram) then doc -- both keys are fine-grained, so
     the shape holds at crawl scale."""
     words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        F.split(F.lower(F.col(text_col)), r"[ \t\r\n\f]+"), lambda w: w != ""
     )
     base = docs_df.select(
         F.col(id_col),
@@ -232,13 +234,13 @@ def token_count_col(col):
 
 
 def whitespace_token_count_col(col):
-    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+    return F.size(F.filter(F.split(col, r"[ \t\r\n\f]+"), lambda t: t != ""))
 
 
 def fingerprint_col(col):
     """Whole-document fingerprint: md5 of normalized text (exactly
     reproducible in any SQL engine for the oracle gate)."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"[ \t\r\n\f]+", " ")))
 
 
 def winnowing_fingerprints(docs_df, k=8, window=4, id_col="doc_id",
@@ -262,7 +264,7 @@ def winnowing_fingerprints(docs_df, k=8, window=4, id_col="doc_id",
     # lambda re-evaluates it for every gram position (O(doc_len^2) regex
     # work per doc) -- same hazard fixed in dedup.char_shingles
     normalized = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\r\n\f]+", " ")
     )
     norm_docs = docs_df.select(F.col(id_col), normalized.alias("_t"))
     positions = F.sequence(

@@ -91,6 +91,17 @@ def commit(spark, extracted_df, bytes_in_df, output_dir, run_id):
     # doubles as the this-run part list so previously-completed parts in
     # the output directory are excluded.
     bytes_in_df = bytes_in_df.persist()  # scanned for parts AND bytes
+    if bytes_in_df.limit(1).count() == 0:
+        # nothing pending (fully-resumed run or empty input): the data
+        # write above produced no part files, so reading it back for
+        # metrics would fail schema inference -- commit an empty lineage
+        # append (creates the path on a first run) and return no rows
+        empty = spark.createDataFrame([], LINEAGE_SCHEMA)
+        empty.write.mode("append").parquet(lineage_path(output_dir))
+        bytes_in_df.unpersist()
+        return spark.read.parquet(lineage_path(output_dir)).filter(
+            F.col("run_id") == run_id
+        )
     this_run_parts = bytes_in_df.select("part_id")
     written = (
         spark.read.parquet(data_path(output_dir))

@@ -52,8 +52,13 @@ TBLPROPERTIES ('format-version' = '2')
 
 
 def iceberg_available(spark):
+    """True when the Iceberg runtime is on the JVM classpath.
+
+    py4j attribute access on a MISSING class silently yields a
+    JavaPackage (it never raises), so the presence check must force
+    actual class loading via Class.forName."""
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
         return True
     except Exception:
         return False

@@ -67,11 +67,25 @@ def test_multi_source_skips_failures(html_file, tmp_path):
     assert "Main Article Title" in proc.stdout
 
 
-def test_json_output(html_file):
-    proc = run_cli([html_file, "--json", "-q"])
-    assert proc.returncode == 0
-    payload = json.loads(proc.stdout)
-    assert "Main Article Title" in payload["text"]
+def test_format_flags_accepted_but_nonfunctional(html_file):
+    """Reference parity: the --md/--text/--json flags are parsed but
+    never consumed (cfg.OutputFormat is dead in cmd/sift/main.go) --
+    output is always the plain result text, and the flags are mutually
+    exclusive like the reference's MarkFlagsMutuallyExclusive set."""
+    plain = run_cli([html_file, "-q"])
+    for flag in ("--json", "--md", "--text"):
+        proc = run_cli([html_file, flag, "-q"])
+        assert proc.returncode == 0
+        assert proc.stdout == plain.stdout
+    both = run_cli([html_file, "--json", "--md", "-q"])
+    assert both.returncode != 0
+
+
+def test_limit_flags_mutually_exclusive(html_file):
+    proc = run_cli([html_file, "-w", "100", "-c", "500"])
+    assert proc.returncode != 0
+    proc2 = run_cli([html_file, "--middle", "--end"])
+    assert proc2.returncode != 0
 
 
 def test_matches_core_bytes(html_file):

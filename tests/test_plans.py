@@ -135,3 +135,24 @@ def test_job_resumes_missing_parts_only(spark, tmp_path):
         assert row["n_docs"] > 0
         assert row["bytes_in"] > 0
         assert row["status"] == "ok"
+
+
+def test_job_handles_empty_input_and_full_resume(spark, tmp_path):
+    """First run over an EMPTY pages table must not crash on the
+    read-back (no part files -> no inferable schema), and a fully
+    resumed run returns zero metric rows cleanly."""
+    from sift_spark.job import run_extraction_job
+    from sift_spark.sources.fixtures import PAGES_SCHEMA
+
+    out = str(tmp_path / "out")
+    empty = spark.createDataFrame([], PAGES_SCHEMA)
+    metrics = run_extraction_job(spark, empty, out, n_parts=4)
+    assert metrics.count() == 0
+
+
+def test_iceberg_gate_detects_absence(spark):
+    """py4j returns a JavaPackage for missing classes without raising;
+    the gate must force class loading (no Iceberg jars ship here)."""
+    from sift_spark.sources.io import iceberg_available
+
+    assert iceberg_available(spark) is False
