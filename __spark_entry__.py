@@ -313,6 +313,31 @@ def _q_topk_by_type(spark, sf_dir):
     )
 
 
+
+def _q_asof_click_view(spark, sf_dir):
+    """As-of join (operators/asof.py): each click matched to the latest
+    view at-or-before it for the same user -- the union+carry-forward
+    formulation (one shuffle on user_id, no range-join pair blowup).
+    Oracle: the identical window construction in DuckDB SQL."""
+    from sift_spark.operators.asof import as_of_join
+
+    events = _events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = as_of_join(clicks, views, "user_id", "ts",
+                     ["view_id", "view_value"], tie_col="view_id")
+    return out.select(
+        "event_id", "user_id", "asof_view_id",
+        F.round("asof_view_value", 6).alias("asof_view_value"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     """Lag-gap sessionization over the events stream table: a >30-minute
     silence starts a new session. (user_id, n_sessions, n_events)."""
@@ -880,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_format": _q_select_format,
         "topk_by_type": _q_topk_by_type,
         "sessionize": _q_sessionize,
+        "asof_click_view": _q_asof_click_view,
         # dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1345,6 +1371,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, event_id, rn FROM ranked WHERE rn <= 5
+        """,
+        "asof_click_view": """
+            WITH unioned AS (
+                SELECT user_id, ts, 1 AS side, NULL::BIGINT AS tie,
+                       event_id, NULL::BIGINT AS r_view_id,
+                       NULL::DOUBLE AS r_view_value
+                FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id, ts, 0 AS side, event_id AS tie,
+                       NULL::BIGINT AS event_id, event_id AS r_view_id,
+                       value AS r_view_value
+                FROM events WHERE event_type = 'view'
+            ),
+            carried AS (
+                SELECT event_id, user_id, side,
+                       last_value(r_view_id IGNORE NULLS) OVER w
+                           AS asof_view_id,
+                       last_value(r_view_value IGNORE NULLS) OVER w
+                           AS asof_view_value
+                FROM unioned
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, side, tie NULLS FIRST
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, asof_view_id,
+                   round(asof_view_value, 6) AS asof_view_value
+            FROM carried WHERE side = 1
         """,
         "sessionize": """
             WITH gapped AS (

@@ -753,3 +753,29 @@ def test_lsh_multiprobe_hamming2_expands_probes(spark, embeddings):
           lsh_cosine_topk(embeddings, query, k=5, probe_hamming=2).collect()}
     # wider probe never loses results and recall is monotone
     assert len(set(brute) & h2) >= len(set(brute) & h1)
+
+
+def test_as_of_join_semantics(spark):
+    """As-of join: latest right row at-or-before each left row per key;
+    same-instant right rows count; ties at one timestamp resolve to the
+    largest tie value; keys with no prior right row yield nulls."""
+    from datetime import datetime
+
+    from sift_spark.operators.asof import as_of_join
+
+    t = lambda s: datetime(2025, 6, 1, 8, 0, s)  # noqa: E731
+    clicks = spark.createDataFrame(
+        [(1, 100, t(10)), (1, 101, t(30)), (2, 102, t(5)), (1, 103, t(20))],
+        "user_id long, event_id long, ts timestamp")
+    views = spark.createDataFrame(
+        [(1, 200, t(5), 1.0), (1, 201, t(20), 2.0), (1, 202, t(20), 3.0),
+         (2, 203, t(50), 9.0)],
+        "user_id long, view_id long, ts timestamp, value double")
+    out = {r["event_id"]: (r["asof_view_id"], r["asof_value"])
+           for r in as_of_join(clicks, views, "user_id", "ts",
+                               ["view_id", "value"],
+                               tie_col="view_id").collect()}
+    assert out[100] == (200, 1.0)   # strictly-prior view
+    assert out[101] == (202, 3.0)   # latest of the t20 pair (max tie)
+    assert out[102] == (None, None)  # user 2's only view is later
+    assert out[103] == (202, 3.0)   # same-instant views count
