@@ -46,7 +46,8 @@ def _spark_multiset(df):
     cols = sorted(df.columns)
     rows = df.select(*cols).collect()
     return cols, sorted(
-        tuple(_normalize(row[c]) for c in cols) for row in rows
+        (tuple(_normalize(row[c]) for c in cols) for row in rows),
+        key=repr,  # rows may mix None with ints (as-of misses)
     )
 
 
@@ -56,7 +57,8 @@ def _duck_multiset(con, sql):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     rows = rel.fetchall()
     return sorted(cols), sorted(
-        tuple(_normalize(row[i]) for i in order) for row in rows
+        (tuple(_normalize(row[i]) for i in order) for row in rows),
+        key=repr,
     )
 
 
