@@ -314,6 +314,47 @@ def _q_topk_by_type(spark, sf_dir):
 
 
 
+
+def _q_session_purchases(spark, sf_dir):
+    """Range join (operators/asof.py): per-user gap-derived session
+    intervals x purchase events with start <= ts <= end, via time-bucket
+    equi-join (no nested-loop). Output: one row per session with a
+    purchase count. Oracle: sessions CTE + plain inequality join (fine
+    at oracle scale; the bucketized form is the 100 TB shape)."""
+    from pyspark.sql import Window
+
+    from sift_spark.operators.asof import range_join_points
+
+    events = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = events.select(
+        "user_id", "ts",
+        F.when((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000, 1)
+        .otherwise(0).alias("new_session"),
+    )
+    numbered = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = range_join_points(
+        purchases, sessions, "user_id", "ts",
+        "session_start", "session_end", bucket_seconds=3600,
+    )
+    return joined.groupBy("user_id", "session_start").agg(
+        F.count("*").alias("n_purchases")
+    )
+
+
 def _q_asof_click_view(spark, sf_dir):
     """As-of join (operators/asof.py): each click matched to the latest
     view at-or-before it for the same user -- the union+carry-forward
@@ -906,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_by_type": _q_topk_by_type,
         "sessionize": _q_sessionize,
         "asof_click_view": _q_asof_click_view,
+        "session_purchases": _q_session_purchases,
         # dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1371,6 +1413,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type, event_id, rn FROM ranked WHERE rn <= 5
+        """,
+        "session_purchases": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800000000 THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id
+                           ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_no
+                FROM marked
+            ),
+            sessions AS (
+                SELECT user_id, session_no,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM numbered GROUP BY user_id, session_no
+            )
+            SELECT s.user_id, s.session_start,
+                   CAST(count(*) AS BIGINT) AS n_purchases
+            FROM events e
+            JOIN sessions s
+              ON s.user_id = e.user_id
+             AND e.ts >= s.session_start AND e.ts <= s.session_end
+            WHERE e.event_type = 'purchase'
+            GROUP BY s.user_id, s.session_start
         """,
         "asof_click_view": """
             WITH unioned AS (

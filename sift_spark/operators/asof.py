@@ -25,6 +25,42 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 
+def range_join_points(points_df, intervals_df, key_col, ts_col,
+                      start_col, end_col, bucket_seconds=3600):
+    """Point-in-interval join: each point row matched to every interval
+    of the same key with start <= ts <= end.
+
+    A plain inequality join plans as a per-key nested loop (O(points x
+    intervals-per-key) comparisons). The scalable form BUCKETIZES time:
+    each interval explodes into the buckets it spans, points map to
+    their bucket, and the join becomes an equi-join on (key, bucket)
+    followed by the exact containment filter. Pick bucket_seconds near
+    the typical interval length: too small multiplies interval rows,
+    too large puts many intervals per bucket."""
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    b = F.lit(int(bucket_seconds))
+    p_bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / b)
+    points_b = points_df.withColumn("_b", p_bucket)
+    intervals_b = intervals_df.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                F.floor(F.unix_timestamp(F.col(end_col)) / b),
+            )
+        ),
+    )
+    return (
+        points_b.join(intervals_b, [key_col, "_b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )
+
+
 def as_of_join(left_df, right_df, key_col, ts_col, payload_cols,
                tie_col=None, prefix="asof_"):
     """Left rows + `prefix`-named columns of the latest right row with

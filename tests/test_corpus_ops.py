@@ -779,3 +779,27 @@ def test_as_of_join_semantics(spark):
     assert out[101] == (202, 3.0)   # latest of the t20 pair (max tie)
     assert out[102] == (None, None)  # user 2's only view is later
     assert out[103] == (202, 3.0)   # same-instant views count
+
+
+def test_range_join_points_buckets_and_filters(spark):
+    """Bucketized point-in-interval join: exact containment regardless
+    of bucket size, no nested-loop join in the plan."""
+    from datetime import datetime
+
+    from sift_spark.operators.asof import range_join_points
+
+    t = lambda m: datetime(2025, 6, 1, 8, m, 0)  # noqa: E731
+    points = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, t(30)), (1, 102, t(61)), (2, 103, t(5))],
+        "key long, pid long, ts timestamp")
+    intervals = spark.createDataFrame(
+        [(1, "a", t(0), t(10)), (1, "b", t(20), t(70)), (2, "c", t(40), t(50))],
+        "key long, iid string, start timestamp, end timestamp")
+    for bucket in (60, 600, 7200):  # minute / 10-min / 2-hour buckets
+        got = {(r["pid"], r["iid"]) for r in range_join_points(
+            points, intervals, "key", "ts", "start", "end",
+            bucket_seconds=bucket).collect()}
+        assert got == {(100, "a"), (101, "b"), (102, "b")}, bucket
+    with pytest.raises(ValueError):
+        range_join_points(points, intervals, "key", "ts", "start", "end",
+                          bucket_seconds=0)
