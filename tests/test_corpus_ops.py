@@ -788,7 +788,9 @@ def test_range_join_points_buckets_and_filters(spark):
 
     from sift_spark.operators.asof import range_join_points
 
-    t = lambda m: datetime(2025, 6, 1, 8, m, 0)  # noqa: E731
+    from datetime import timedelta
+
+    t = lambda m: datetime(2025, 6, 1, 8, 0, 0) + timedelta(minutes=m)  # noqa: E731
     points = spark.createDataFrame(
         [(1, 100, t(5)), (1, 101, t(30)), (1, 102, t(61)), (2, 103, t(5))],
         "key long, pid long, ts timestamp")
