@@ -108,7 +108,7 @@ def _q_chunk_table(spark, sf_dir):
 
 def _q_search_select(spark, sf_dir):
     from sift_spark.operators.chunking import chunk_pages
-    from sift_spark.operators.search import bm25_scores
+    from sift_spark.operators.search import with_bm25_score
     from sift_spark.operators.selection_op import select_exact
 
     params = SiftParams(counting_method=WORDS, max_units=80,
@@ -118,9 +118,7 @@ def _q_search_select(spark, sf_dir):
         F.col("text").alias("text_md"),
     )
     chunks = chunk_pages(md, params)
-    scored = chunks.join(
-        bm25_scores(chunks, params.search_query), ["url", "chunk_idx"]
-    )
+    scored = with_bm25_score(chunks, params.search_query)
     return select_exact(scored, params, scored=True)
 
 

@@ -29,7 +29,9 @@ def _build_queries(spark, sf_dir):
     from sift_spark.operators.chunking import chunk_pages, filter_extraneous
     from sift_spark.operators.dedup import minhash_near_duplicates
     from sift_spark.operators.extract import extract_pages
-    from sift_spark.operators.search import bm25_scores, rank_by_score
+    from sift_spark.operators.search import (
+        bm25_scores, rank_by_score, with_bm25_score,
+    )
     from sift_spark.operators.selection_op import select_exact
     from sift_spark.operators.similarity import cosine_topk, lsh_cosine_topk
     from sift_spark.operators.textstats import text_profile
@@ -69,27 +71,17 @@ def _build_queries(spark, sf_dir):
         return filter_extraneous(chunks).count()
 
     def q_bm25_rank():
-        # the chunk table feeds both bm25 branches (field-term explode +
-        # zero-chunk restore): persist it once, as a production job would,
-        # instead of re-running the chunk UDF per branch
-        chunks = chunk_pages(md, search_params).persist()
-        try:
-            ranked = rank_by_score(
-                bm25_scores(chunks, search_params.search_query))
-            return ranked.filter(F.col("sel_rank") <= 3).count()
-        finally:
-            chunks.unpersist()
+        # bm25 is single-branch since round 4 (array folds, no
+        # zero-chunk restore join): no persist needed
+        chunks = chunk_pages(md, search_params)
+        ranked = rank_by_score(
+            bm25_scores(chunks, search_params.search_query))
+        return ranked.filter(F.col("sel_rank") <= 3).count()
 
     def q_search_select():
-        chunks = chunk_pages(md, search_params).persist()
-        try:
-            scored = chunks.join(
-                bm25_scores(chunks, search_params.search_query),
-                ["url", "chunk_idx"],
-            )
-            return select_exact(scored, search_params, scored=True).count()
-        finally:
-            chunks.unpersist()
+        chunks = chunk_pages(md, search_params)
+        scored = with_bm25_score(chunks, search_params.search_query)
+        return select_exact(scored, search_params, scored=True).count()
 
     def q_dedup_minhash():
         return minhash_near_duplicates(

@@ -134,93 +134,112 @@ def field_terms_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def explode_field_terms(chunks_df, text_col="chunk_text"):
-    return chunks_df.select(
-        "url",
-        "chunk_idx",
-        F.explode(field_terms_udf(F.col(text_col))).alias("ft"),
-    ).select("url", "chunk_idx", F.col("ft.field").alias("field"),
-             F.col("ft.term").alias("term"))
-
-
-def bm25_scores(chunks_df, query, text_col="chunk_text",
-                k1=K1, b=B, field_weights=None):
-    """Field-weighted BM25 (BM25F, SURVEY.md Appendix A.3) as ONE
-    aggregation + window math -- no joins:
+def with_bm25_score(chunks_df, query, text_col="chunk_text",
+                    k1=K1, b=B, field_weights=None, score_col="score"):
+    """Field-weighted BM25 (BM25F, SURVEY.md Appendix A.3), genuinely
+    single-branch -- ZERO joins, ZERO groupBy:
 
       per chunk:  dl = total terms;  wtf_i = sum_f w_f * tf(term_i)
-                  (query terms pivoted to conditional-sum columns;
-                   query arity is tiny so the pivot is narrow)
+                  computed as native array folds over the UDF's
+                  (field, term) array, so every chunk row survives
+                  (dl = 0 chunks included -- tfidf.go:60-65 counts
+                  EVERY chunk in avgdl/N) and the chunk table feeds
+                  exactly one branch
       per url  :  avgdl, N, df_i  via a window over the per-chunk rows
       score    =  sum_i q_i * idf_i * wtf_i*(k1+1) /
                   (k1*(1-b+b*dl/avgdl) + wtf_i)
 
-    Plan: UDF field-term explode (narrow) -> one groupBy(url, chunk_idx)
-    with map-side partial agg -> url window (same hash partitioning, no
-    extra shuffle) -> column math. The previous formulation ran the UDF
-    twice and joined 3 times."""
+    Plan: Arrow UDF emits the field-term array per row (narrow) ->
+    aggregate/filter higher-order functions reduce it to dl + one wtf
+    column per query term (narrow, whole-stage codegen) -> one
+    url-window shuffle for corpus stats -> column math. Callers need no
+    persist: the chunk UDF branch is referenced exactly once.
+
+    Keeps every input column and appends `score_col`, so selection
+    pipelines attach scores without joining back to the chunk table."""
     weights = field_weights or FIELD_WEIGHTS
     query_terms = list(dict.fromkeys(tfidf_tokenize(query)))
     if not query_terms:
-        return chunks_df.select("url", "chunk_idx", F.lit(0.0).alias("score"))
+        return chunks_df.withColumn(score_col, F.lit(0.0))
 
     q_occurrences = {}
     for term in tfidf_tokenize(query):
         q_occurrences[term] = q_occurrences.get(term, 0) + 1
 
-    ft = explode_field_terms(chunks_df, text_col)
     weight_map = F.create_map(
         *[F.lit(x) for pair in weights.items() for x in pair]
     )
-    row_weight = F.coalesce(weight_map[F.col("field")], F.lit(1.0))
 
-    aggs = [F.count("*").alias("dl")]
+    # the aliased UDF array is referenced by len(query_terms)+1
+    # downstream expressions; CollapseProject keeps non-cheap aliases
+    # un-inlined, so the UDF runs once per row (same pattern as
+    # winnowing's normalized-text projection)
+    # NB: bind the loop variable through a closure factory -- a `t=term`
+    # default arg would make pyspark treat the lambda as (element, index)
+    def _is_term(term):
+        return lambda x: x["term"] == F.lit(term)
+
+    per_chunk = chunks_df.withColumn("_ft", field_terms_udf(F.col(text_col)))
+    per_chunk = per_chunk.withColumn("_dl", F.size("_ft").cast("double"))
     for i, term in enumerate(query_terms):
-        aggs.append(
-            F.sum(
-                F.when(F.col("term") == term, row_weight).otherwise(F.lit(0.0))
-            ).alias(f"wtf_{i}")
+        matches = F.filter(F.col("_ft"), _is_term(term))
+        per_chunk = per_chunk.withColumn(
+            f"_wtf_{i}",
+            F.aggregate(
+                matches,
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(
+                    F.element_at(weight_map, x["field"]), F.lit(1.0)
+                ),
+            ),
         )
-    per_chunk_raw = ft.groupBy("url", "chunk_idx").agg(*aggs)
-
-    # restore chunks that produced no term rows at all (dl = 0): corpus
-    # statistics (avgdl, N) count EVERY chunk (tfidf.go:60-65 semantics)
-    per_chunk = chunks_df.select("url", "chunk_idx").join(
-        per_chunk_raw, ["url", "chunk_idx"], "left"
-    ).fillna(0)
+    per_chunk = per_chunk.drop("_ft")
 
     url_window = Window.partitionBy("url")
     per_chunk = per_chunk.withColumn(
-        "avgdl", F.avg("dl").over(url_window)
-    ).withColumn("n_docs", F.count("*").over(url_window))
+        "_avgdl", F.avg("_dl").over(url_window)
+    ).withColumn("_n_docs", F.count("*").over(url_window))
     for i in range(len(query_terms)):
         per_chunk = per_chunk.withColumn(
-            f"df_{i}",
-            F.sum(F.when(F.col(f"wtf_{i}") > 0, 1).otherwise(0)).over(
+            f"_df_{i}",
+            F.sum(F.when(F.col(f"_wtf_{i}") > 0, 1).otherwise(0)).over(
                 url_window
             ),
         )
 
     score = F.lit(0.0)
     for i, term in enumerate(query_terms):
-        wtf = F.col(f"wtf_{i}")
-        df = F.col(f"df_{i}")
+        wtf = F.col(f"_wtf_{i}")
+        df = F.col(f"_df_{i}")
         idf = F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+            + (F.col("_n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
         )
         term_score = (
             idf * wtf * F.lit(k1 + 1.0)
             / (
                 F.lit(k1)
-                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
                 + wtf
             )
             * F.lit(float(q_occurrences[term]))
         )
         score = score + F.when(wtf > 0, term_score).otherwise(F.lit(0.0))
 
-    return per_chunk.select("url", "chunk_idx", score.alias("score"))
+    temps = (["_dl", "_avgdl", "_n_docs"]
+             + [f"_wtf_{i}" for i in range(len(query_terms))]
+             + [f"_df_{i}" for i in range(len(query_terms))])
+    return per_chunk.withColumn(score_col, score).drop(*temps)
+
+
+def bm25_scores(chunks_df, query, text_col="chunk_text",
+                k1=K1, b=B, field_weights=None):
+    """(url, chunk_idx, score) projection of :func:`with_bm25_score`;
+    Catalyst column-prunes the unused chunk columns through the window."""
+    return with_bm25_score(
+        chunks_df, query, text_col=text_col, k1=k1, b=b,
+        field_weights=field_weights,
+    ).select("url", "chunk_idx", "score")
 
 
 def rank_by_score(scored_df):

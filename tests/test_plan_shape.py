@@ -77,11 +77,20 @@ def test_bm25_no_joins(spark):
         ["url", "chunk_idx", "chunk_text"],
     )
     plan = plan_of(bm25_scores(chunks, "spark data"))
-    # pivoted single-pass scoring: one join only (zero-term chunk restore)
-    joins = count_nodes(plan, "SortMergeJoin") + count_nodes(
-        plan, "BroadcastHashJoin"
+    # single-branch scoring: array folds replace the explode/groupBy and
+    # the zero-chunk restore join -- NO join of any kind, and exactly one
+    # Exchange (the url corpus-stats window)
+    joins = (
+        count_nodes(plan, "SortMergeJoin")
+        + count_nodes(plan, "BroadcastHashJoin")
+        + count_nodes(plan, "ShuffledHashJoin")
+        + count_nodes(plan, "BroadcastNestedLoopJoin")
+        + count_nodes(plan, "CartesianProduct")
     )
-    assert joins <= 1
+    assert joins == 0
+    assert count_nodes(plan, "Exchange") == 1
+    # the field-term UDF is evaluated once, not once per referencing expr
+    assert count_nodes(plan, "ArrowEvalPython") == 1
 
 
 def test_broadcast_in_tfidf(spark):
