@@ -407,36 +407,74 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    from sift_spark.operators.dedup import char_shingles, jaccard_pairs
+    """Char-8-shingle AND word-trigram Jaccard folded into one
+    parametrized query (`mode` column) so both variants keep an exact
+    oracle inside the driver's 50-row gate cap (round-3 verdict: the
+    51st registered query silently fell off the gate file)."""
+    from sift_spark.operators.dedup import (
+        char_shingles,
+        jaccard_pairs,
+        word_ngrams,
+    )
 
-    shingles = char_shingles(_docs(spark, sf_dir), k=8)
-    return jaccard_pairs(shingles, min_jaccard=0.2)
-
-
-def _q_ngram_jaccard_words(spark, sf_dir):
-    """Word-trigram Jaccard (the word_ngrams operator; all-pairs
-    fallback form -- candidate anchoring is the scale path, exercised by
-    minhash_neardup)."""
-    from sift_spark.operators.dedup import jaccard_pairs, word_ngrams
-
-    grams = word_ngrams(_docs(spark, sf_dir), n=3)
-    return jaccard_pairs(grams, min_jaccard=0.3, shingle_col="ngram")
-
-
-def _q_minhash_neardup(spark, sf_dir):
-    from sift_spark.operators.dedup import minhash_near_duplicates
-
-    return minhash_near_duplicates(
-        _docs(spark, sf_dir), k=8, n_hashes=32, n_bands=8, min_jaccard=0.5
+    docs = _docs(spark, sf_dir)
+    chars = jaccard_pairs(char_shingles(docs, k=8), min_jaccard=0.2)
+    words = jaccard_pairs(
+        word_ngrams(docs, n=3), min_jaccard=0.3, shingle_col="ngram"
+    )
+    return chars.select(F.lit("char8").alias("mode"), "*").unionByName(
+        words.select(F.lit("word3").alias("mode"), "*")
     )
 
 
-def _q_simhash(spark, sf_dir):
-    from sift_spark.operators.dedup import simhash64_udf
-
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+def _q_production_hash_paths(spark, sf_dir):
+    """The three production-xxhash64 twins (MinHash LSH pairs, simhash,
+    winnowing) folded into ONE rows-only gate row -- each has a
+    hash-green md5-portable oracle twin; this query exercises the
+    default xxhash64 code paths end-to-end and returns value-sensitive
+    checksums (bit_xor over the produced hashes/pair ids), so a changed
+    hash kernel changes the output even though no SQL oracle can
+    reproduce xxhash64."""
+    from sift_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash64_udf,
     )
+    from sift_spark.operators.textstats import winnowing_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    mh = (
+        minhash_near_duplicates(
+            docs, k=8, n_hashes=32, n_bands=8, min_jaccard=0.5
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.expr("bit_xor(shiftleft(id_a, 20) ^ id_b)"), F.lit(0)
+            ).alias("checksum"),
+        )
+        .select(F.lit("minhash_lsh_xxhash").alias("path"), "*")
+    )
+    sh = (
+        docs.select(simhash64_udf(F.col("text")).alias("simhash"), "doc_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.expr("bit_xor(simhash ^ doc_id)"), F.lit(0)).alias(
+                "checksum"
+            ),
+        )
+        .select(F.lit("simhash_xxhash").alias("path"), "*")
+    )
+    wf = (
+        winnowing_fingerprints(docs, k=8, window=4)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.expr("bit_xor(fingerprint ^ doc_id)"), F.lit(0)
+            ).alias("checksum"),
+        )
+        .select(F.lit("winnowing_xxhash").alias("path"), "*")
+    )
+    return mh.unionByName(sh).unionByName(wf)
 
 
 def _q_minhash_neardup_md5(spark, sf_dir):
@@ -790,12 +828,6 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
-def _q_winnowing(spark, sf_dir):
-    from sift_spark.operators.textstats import winnowing_fingerprints
-
-    return winnowing_fingerprints(_docs(spark, sf_dir), k=8, window=4)
-
-
 def _q_pdf_extract(spark, sf_dir):
     """Mixed-content extraction: documents rendered as deterministic
     PDFs (core/pdftext writer), extracted back through the content-type
@@ -949,11 +981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup / similarity
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
-        "ngram_jaccard_words": _q_ngram_jaccard_words,
-        "minhash_neardup": _q_minhash_neardup,
         "minhash_neardup_md5": _q_minhash_neardup_md5,
         "dedup_components": _q_dedup_components,
-        "simhash": _q_simhash,
         "simhash_md5": _q_simhash_md5,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_cosine_topk": _q_ann_cosine_topk,
@@ -974,8 +1003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_counts_fallback": _q_token_counts_fallback,
         "fingerprint": _q_fingerprint,
-        "winnowing": _q_winnowing,
         "winnowing_md5": _q_winnowing_md5,
+        # production xxhash64 twins folded into one rows-only row
+        # (each has a hash-green md5 oracle twin above)
+        "production_hash_paths": _q_production_hash_paths,
         # multimodal plumbing
         "media_features": _q_media_features,
         # multi-source combination (sift.go:107-130)
@@ -1493,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "ngram_jaccard": """
+            SELECT 'char8' AS mode, q.* FROM (
             WITH norm AS (
                 SELECT doc_id,
                        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
@@ -1524,8 +1556,9 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(n_common::DOUBLE /
                   (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.2
-        """,
-        "ngram_jaccard_words": """
+            ) q
+            UNION ALL
+            SELECT 'word3' AS mode, q.* FROM (
             WITH norm AS (
                 SELECT doc_id, list_filter(regexp_split_to_array(
                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
@@ -1560,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6)
                   >= 0.3
+            ) q
         """,
         "minhash_neardup_md5": _MINHASH_MD5_PAIRS_SQL,
         "dedup_components": f"""
