@@ -327,14 +327,17 @@ def _q_session_purchases(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     marked = events.select(
-        "user_id", "ts",
+        "user_id", "ts", "event_id",
         F.when((ts_us - F.lag(ts_us).over(w)) > 1_800_000_000, 1)
         .otherwise(0).alias("new_session"),
     )
+    # order by (ts, event_id) like the lag window: with ts ties, an
+    # ORDER BY ts ROWS frame has engine-dependent peer order and Spark
+    # vs DuckDB could attribute tied rows to different sessions
     numbered = marked.withColumn(
         "session_no",
         F.sum("new_session").over(
-            Window.partitionBy("user_id").orderBy("ts")
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
@@ -1445,7 +1448,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_purchases": """
             WITH marked AS (
-                SELECT user_id, ts,
+                SELECT user_id, ts, event_id,
                        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                                 PARTITION BY user_id ORDER BY ts, event_id
                             ) > 1800000000 THEN 1 ELSE 0 END AS new_session
@@ -1454,7 +1457,8 @@ def oracle_sql() -> dict[str, str]:
             numbered AS (
                 SELECT user_id, ts,
                        sum(new_session) OVER (PARTITION BY user_id
-                           ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) AS session_no
                 FROM marked
             ),

@@ -29,7 +29,7 @@ from pyspark.sql import types as T
 
 
 def normalized_text_col(col):
-    """Whitespace/case normalization for content hashing. The explicit
+    r"""Whitespace/case normalization for content hashing. The explicit
     class (not \s) keeps Spark's Java regex and the DuckDB oracle's RE2
     agreeing on \x0b (Java \s includes vertical tab, RE2 \s does
     not)."""
@@ -206,6 +206,15 @@ def report_bucket_cap(observation, log=None):
     simhash_oversized_blocks monitor for a guaranteed (extra-job)
     answer."""
     log = log or logging.getLogger(__name__)
+    if not hasattr(observation, "_jo"):
+        # private PySpark internals changed shape (upgrade): degrade to
+        # the guaranteed (extra-job) monitors instead of crashing
+        log.warning(
+            "Observation internals changed (no _jo on this PySpark); "
+            "bucket-cap metrics unavailable -- run the oversized-buckets "
+            "monitor for a guaranteed answer"
+        )
+        return None
     if observation._jo is None:
         # never attached: the cap was off (max_bucket_size falsy), so the
         # pipeline had nothing to observe
@@ -217,19 +226,36 @@ def report_bucket_cap(observation, log=None):
     try:
         metrics = observation.get
     except Exception:
-        jrow = observation._jo.getRow()
-        if jrow.size() == 0:
+        try:
+            jrow = observation._jo.getRow()
+            values = [jrow.get(i) for i in range(jrow.size())]
+        except Exception:
+            log.warning(
+                "bucket-cap observation row unreadable through private "
+                "PySpark internals; metrics unavailable -- run the "
+                "oversized-buckets monitor for a guaranteed answer"
+            )
+            return None
+        if not values:
             log.info(
                 "bucket-cap observation pruned (empty pipeline result "
                 "under AQE); run the oversized-buckets monitor for a "
                 "guaranteed answer"
             )
             return None
+        if len(values) != 2:
+            # positional read is only valid for _observe_cap's exact
+            # two-alias layout; anything else means the layout drifted
+            log.warning(
+                "bucket-cap observation row has %d fields (expected 2); "
+                "metrics unavailable", len(values)
+            )
+            return None
         # schemaless but populated row: read positionally (alias order
         # fixed in _observe_cap)
         metrics = {
-            "n_dropped_rows": jrow.get(0),
-            "largest_bucket": jrow.get(1),
+            "n_dropped_rows": values[0],
+            "largest_bucket": values[1],
         }
     if metrics.get("n_dropped_rows"):
         log.warning(
