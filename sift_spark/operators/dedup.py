@@ -491,15 +491,115 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
             if changed == 0:
                 break
         else:
-            raise RuntimeError(
-                f"connected_components did not converge in "
-                f"{max_iterations} iterations; use large-star/small-star "
-                "for this graph"
-            )
+            # diameter/skew defeated min-label propagation: switch to the
+            # O(log^2 n)-round alternating star algorithm instead of
+            # giving up (Kiveris et al., SoCC'14)
+            return connected_components_star(pairs_df, id_a=id_a,
+                                             id_b=id_b)
     finally:
         edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
+                              max_iterations=50):
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log^2 n) rounds regardless of graph
+    diameter or skew -- the scale path for adversarial graphs (long
+    chains, high-degree hubs) where min-label propagation needs
+    O(diameter) rounds.
+
+    Edge set is kept canonically oriented big->small. Per round:
+
+      large-star: for each node u with neighborhood N(u),
+                  m = min(N(u) + {u}); emit (v, m) for v in N(u), v > u
+      small-star: on big->small edges, m = min of u's small-side
+                  neighbors; emit (v, m) for v != m plus (u, m)
+
+    Both are an equi-join of the edge table against a groupBy-min table
+    -- NO collect_list neighborhood materialization, so a hub node's
+    edges stay spread across partitions and the only skew surface is
+    the join on the hub's id (AQE skew-join handles it). Convergence is
+    detected by a (count, bit_xor(xxhash64)) set signature -- one cheap
+    aggregate action per round, same driver-side cost as the fixpoint
+    check in :func:`connected_components`. At the fixpoint the edge set
+    IS the answer: a forest of stars (node -> component min).
+
+    Returns (doc_id, component_id), component_id = min id in the
+    component; same contract as :func:`connected_components` (only
+    nodes appearing in >= 1 pair are emitted)."""
+    edges = (
+        pairs_df.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+            F.least(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"),
+                       F.lit(0)).alias("sig"),
+        ).first()
+        return (row["n"], row["sig"])
+
+    sig = _signature(edges)
+    for _ in range(max_iterations):
+        # large-star over the symmetric view
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+            "src", F.least(F.col("_mn"), F.col("src")).alias("m")
+        )
+        large = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star over the big->small orientation
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        joined = large.join(smins, "src")
+        small = (
+            joined.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(smins.select(F.col("src"), F.col("m").alias("dst")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(small)
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds -- not expected for any graph "
+            f"(O(log^2 n) bound); check for non-deterministic ids"
+        )
+    # fixpoint edges are (node, component_min); the component min itself
+    # has no outgoing edge -- add the roots back as self-labels
+    roots = (
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(edges.select(F.col("src").alias("node")).distinct(),
+              "node", "left_anti")
+        .withColumn("comp", F.col("node"))
+    )
+    return (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+        .unionByName(roots)
+        .select(F.col("node").alias("doc_id"),
+                F.col("comp").alias("component_id"))
     )
 
 

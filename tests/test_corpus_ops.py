@@ -490,8 +490,54 @@ def test_connected_components_clusters_pairs(spark):
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
 
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=1)
+    # starved iteration budget: min-label now FALLS BACK to the star
+    # algorithm instead of raising, and still produces the right answer
+    fallback = {r["doc_id"]: r["component_id"]
+                for r in connected_components(
+                    pairs, max_iterations=1).collect()}
+    assert fallback == out
+
+
+def test_connected_components_star_long_chain(spark):
+    """A 200-node path graph has diameter 199: min-label propagation
+    needs ~100 rounds, but alternating large-star/small-star converges
+    in O(log^2 n) -- well under 15 rounds -- and still elects the min id
+    (Kiveris et al., SoCC'14). Also: a high-degree hub (star graph) and
+    reversed/duplicated edge orientations normalize correctly."""
+    from sift_spark.operators.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(5000, 5200)]
+    hub = [(9000, 9000 + i) for i in range(1, 40)]
+    messy = [(7002, 7001), (7001, 7002), (7001, 7000)]  # dupes + reversed
+    pairs = spark.createDataFrame(chain + hub + messy, ["id_a", "id_b"])
+
+    out = {r["doc_id"]: r["component_id"]
+           for r in connected_components_star(
+               pairs, max_iterations=15).collect()}
+    assert {k: v for k, v in out.items() if 5000 <= k <= 5200} == {
+        i: 5000 for i in range(5000, 5201)}
+    assert {k: v for k, v in out.items() if k >= 9000} == {
+        9000 + i: 9000 for i in range(40)}
+    assert {k: v for k, v in out.items() if 7000 <= k < 8000} == {
+        7000: 7000, 7001: 7000, 7002: 7000}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Both implementations agree on a mixed graph (triangles, chains,
+    singleton pairs)."""
+    from sift_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"])
+    label = {(r["doc_id"], r["component_id"])
+             for r in connected_components(pairs).collect()}
+    star = {(r["doc_id"], r["component_id"])
+            for r in connected_components_star(pairs).collect()}
+    assert star == label
 
 
 def test_hash_sample_is_partitioning_invariant(spark, docs):

@@ -85,6 +85,29 @@ def test_oracle_parity(spark, ddb, name):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
+def test_dedup_components_star_matches_oracle(spark, ddb):
+    """The recursive-CTE reachability oracle must be green over BOTH
+    connected-components implementations: min-label propagation (the
+    registered query) AND alternating large-star/small-star (the
+    adversarial-graph scale path, Kiveris et al. SoCC'14)."""
+    from sift_spark.operators.dedup import (
+        connected_components_star,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = minhash_near_duplicates(
+        docs, k=8, n_hashes=16, n_bands=4, min_jaccard=0.5,
+        portable_hash=True, max_bucket_size=None,
+    )
+    spark_cols, spark_rows = _spark_multiset(connected_components_star(pairs))
+    duck_cols, duck_rows = _duck_multiset(
+        ddb, entry_mod.oracle_sql()["dedup_components"]
+    )
+    assert spark_cols == duck_cols
+    assert spark_rows == duck_rows
+
+
 @pytest.mark.parametrize("name", sorted(
     set(entry_mod.queries()) - set(entry_mod.oracle_sql())
 ))
