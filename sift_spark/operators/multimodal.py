@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decode is STUBBED behind
-`decode_available()` because no image/audio libraries exist in this
-container -- `deterministic_fake=True` substitutes a seeded, content-hash
-derived feature vector so downstream operators (dedup, ANN) are testable
-end-to-end.
+signatures) is real and tested. WAV (RIFF header walk) and BMP
+(BITMAPINFOHEADER / BITMAPCOREHEADER) decode for REAL with stdlib
+`struct` alone -- sample rate, channels, bit depth, duration, dimensions
+become content-derived features end-to-end. Other formats (JPEG frames,
+video) stay STUBBED behind `decode_available()` because no image/audio
+libraries exist in this container -- `deterministic_fake=True`
+substitutes a seeded, content-hash derived feature vector for those so
+downstream operators (dedup, ANN) remain testable end-to-end.
 
 At scale: media rows are fat like html rows, so the same fat-row salting
 (plans/partitioning.py) applies; mapInPandas streams Arrow batches so one
@@ -65,6 +68,101 @@ def _fake_features(payload):
     return [float(v % 1000) / 1000.0 for v in ints]
 
 
+# ---- real stdlib decoders (no PIL/libav needed) -----------------------------------
+
+
+def parse_wav(payload):
+    """RIFF/WAVE header parse with stdlib `struct` alone -> dict of
+    (audio_format, n_channels, sample_rate, byte_rate, block_align,
+    bits_per_sample, data_bytes, duration_ms, n_frames). Walks the RIFF
+    chunk list (chunks are word-aligned) rather than assuming fmt/data
+    at fixed offsets. Raises ValueError on non-WAV payloads."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data_bytes = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos:pos + 4]
+        (chunk_size,) = struct.unpack_from("<I", payload, pos + 4)
+        if chunk_id == b"fmt " and chunk_size >= 16 \
+                and pos + 8 + 16 <= len(payload):
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif chunk_id == b"data":
+            data_bytes = min(chunk_size, max(len(payload) - pos - 8, 0))
+        pos += 8 + chunk_size + (chunk_size & 1)
+    if fmt is None or data_bytes is None:
+        raise ValueError("WAVE payload missing fmt /data chunk")
+    audio_format, n_channels, sample_rate, byte_rate, block_align, bits = fmt
+    return {
+        "audio_format": audio_format,
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "byte_rate": byte_rate,
+        "block_align": block_align,
+        "bits_per_sample": bits,
+        "data_bytes": data_bytes,
+        "duration_ms": data_bytes * 1000 // byte_rate if byte_rate else 0,
+        "n_frames": data_bytes // block_align if block_align else 0,
+    }
+
+
+def parse_bmp(payload):
+    """BMP header parse with stdlib `struct` alone -> dict of (width,
+    height, top_down, planes, bit_count, file_size). Handles both the
+    modern BITMAPINFOHEADER (>= 40 bytes, signed dims, negative height
+    = top-down) and the legacy 12-byte BITMAPCOREHEADER. Raises
+    ValueError on non-BMP payloads."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (file_size,) = struct.unpack_from("<I", payload, 2)
+    (header_size,) = struct.unpack_from("<I", payload, 14)
+    if header_size >= 40 and len(payload) >= 30:
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bit_count = struct.unpack_from("<HH", payload, 26)
+    elif header_size == 12:
+        width, height = struct.unpack_from("<HH", payload, 18)
+        planes, bit_count = struct.unpack_from("<HH", payload, 22)
+    else:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    return {
+        "width": width,
+        "height": abs(height),
+        "top_down": height < 0,
+        "planes": planes,
+        "bit_count": bit_count,
+        "file_size": file_size,
+    }
+
+
+def stdlib_features(payload):
+    """Content-derived features for the formats stdlib can decode:
+    RIFF/WAVE and BMP. Fixed slot layout inside the FEATURE_DIM vector
+    (slot 0 is a format tag: 1=wav, 2=bmp); unknown formats raise
+    ValueError so the caller can fall back or emit an error row."""
+    out = [0.0] * FEATURE_DIM
+    if payload[:4] == b"RIFF":
+        meta = parse_wav(payload)
+        out[0] = 1.0
+        out[1] = float(meta["sample_rate"])
+        out[2] = float(meta["n_channels"])
+        out[3] = float(meta["bits_per_sample"])
+        out[4] = float(meta["duration_ms"])
+        out[5] = float(meta["byte_rate"])
+        out[6] = float(meta["n_frames"])
+        return out
+    if payload[:2] == b"BM":
+        meta = parse_bmp(payload)
+        out[0] = 2.0
+        out[1] = float(meta["width"])
+        out[2] = float(meta["height"])
+        out[3] = float(meta["bit_count"])
+        out[4] = 1.0 if meta["top_down"] else 0.0
+        out[5] = float(meta["file_size"])
+        return out
+    raise ValueError("no stdlib decoder for this payload format")
+
+
 def resolve_decoder(spec):
     """'module.path:function' -> the callable (payload_bytes ->
     list[float]). This is what makes a real decoder a CONFIG change:
@@ -91,20 +189,25 @@ def extract_media_features(media_df, deterministic_fake=True,
 
     batch_feature_fn: a callable (payload_bytes -> list[float]) or a
     'module:function' spec string (resolve_decoder) plugging a real
-    decoder; without one and with deterministic_fake=False this raises
-    NotImplementedError (clearly-marked stub)."""
+    decoder. Without one, WAV and BMP payloads decode for REAL through
+    the stdlib header parsers (stdlib_features); other formats fall
+    back to the deterministic content-hash fake when
+    deterministic_fake=True, else produce a per-row error (honest stub
+    -- no PIL/libav in this container)."""
     if batch_feature_fn is None:
-        if decode_available():  # pragma: no cover
-            raise NotImplementedError(
-                "real decoder integration not wired in this container"
-            )
-        if not deterministic_fake:
-            raise NotImplementedError(
-                "media decoding requires image/audio libraries not present "
-                "in this container; pass batch_feature_fn or use "
-                "deterministic_fake=True"
-            )
-        batch_feature_fn = _fake_features
+        fallback = _fake_features if deterministic_fake else None
+
+        def batch_feature_fn(payload):
+            try:
+                return stdlib_features(payload)
+            except ValueError:
+                if fallback is None:
+                    raise NotImplementedError(
+                        "no stdlib decoder for this payload format and "
+                        "image/audio libraries are not present; pass "
+                        "batch_feature_fn or use deterministic_fake=True"
+                    )
+                return fallback(payload)
     elif isinstance(batch_feature_fn, str):
         batch_feature_fn = resolve_decoder(batch_feature_fn)
 
@@ -137,7 +240,11 @@ def extract_media_features(media_df, deterministic_fake=True,
                 try:
                     rows["features"].append(batch_feature_fn(payload))
                     rows["error"].append(None)
-                except NotImplementedError as exc:
+                except (NotImplementedError, ValueError,
+                        struct.error) as exc:
+                    # unknown format without a fake fallback, or a
+                    # truncated/corrupt header: error row, never a task
+                    # failure (one bad blob must not kill a partition)
                     rows["features"].append(None)
                     rows["error"].append(str(exc))
             yield pd.DataFrame(rows)
@@ -164,8 +271,43 @@ def frame_sample_plan(media_df, every_ms=1000):
     )
 
 
+def make_wav_bytes(sample_rate=8000, n_channels=1, bits=16,
+                   duration_ms=250, seed=0):
+    """Minimal valid PCM RIFF/WAVE blob (deterministic content)."""
+    import random
+
+    rng = random.Random(seed)
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = bytes(rng.getrandbits(8)
+                 for _ in range(byte_rate * duration_ms // 1000))
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def make_bmp_bytes(width=4, height=3, bit_count=24, seed=0):
+    """Minimal valid BITMAPINFOHEADER BMP blob (deterministic pixels;
+    rows padded to 4 bytes per the format)."""
+    import random
+
+    rng = random.Random(seed)
+    row_bytes = (width * bit_count // 8 + 3) & ~3
+    pixels = bytes(rng.getrandbits(8) for _ in range(row_bytes * height))
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bit_count,
+                       0, len(pixels), 2835, 2835, 0, 0)
+    file_size = 14 + len(info) + len(pixels)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 14 + len(info))
+    return header + info + pixels
+
+
 def build_fake_media_df(spark, n_rows=32, seed=42):
-    """Deterministic synthetic media table for tests/bench."""
+    """Deterministic synthetic media table for tests/bench: audio rows
+    are REAL PCM WAVs and image rows REAL BMPs (the stdlib decoders
+    produce content-derived features for them end-to-end); video rows
+    stay opaque random bytes (decode honestly stubbed)."""
     import random
 
     rng = random.Random(seed)
@@ -173,7 +315,15 @@ def build_fake_media_df(spark, n_rows=32, seed=42):
     rows = []
     for i in range(n_rows):
         kind = kinds[i % 3]
-        payload = bytes(rng.getrandbits(8) for _ in range(64 + (i % 5) * 32))
+        if kind == "image":
+            payload = make_bmp_bytes(width=4 + i % 5, height=3 + i % 4,
+                                     seed=seed + i)
+        elif kind == "audio":
+            payload = make_wav_bytes(duration_ms=100 + (i % 5) * 50,
+                                     seed=seed + i)
+        else:
+            payload = bytes(rng.getrandbits(8)
+                            for _ in range(64 + (i % 5) * 32))
         rows.append(
             (i, kind, payload, f"{kind}/fake",
              640 if kind == "image" else None,

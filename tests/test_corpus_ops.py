@@ -243,7 +243,10 @@ def test_media_feature_plumbing(spark):
     assert frames.count() == video_count * 5  # 5000 ms / 1000
 
 
-def test_media_stub_raises_without_fake(spark):
+def test_media_stub_errors_without_fake(spark):
+    """deterministic_fake=False: wav/bmp rows still decode for real via
+    the stdlib parsers; formats without a stdlib decoder (video blobs)
+    produce honest per-row errors instead of features."""
     from sift_spark.operators.multimodal import (
         build_fake_media_df,
         decode_available,
@@ -252,10 +255,53 @@ def test_media_stub_raises_without_fake(spark):
 
     if decode_available():  # pragma: no cover
         pytest.skip("real decoder present")
-    with pytest.raises(NotImplementedError):
-        extract_media_features(
-            build_fake_media_df(spark, 2), deterministic_fake=False
-        )
+    rows = extract_media_features(
+        build_fake_media_df(spark, 12), deterministic_fake=False
+    ).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    for r in by_kind["image"] + by_kind["audio"]:
+        assert r["error"] is None and r["features"] is not None
+    for r in by_kind["video"]:
+        assert r["features"] is None
+        assert "no stdlib decoder" in r["error"]
+
+
+def test_wav_bmp_stdlib_decoders():
+    """Round-trip: the fixture writers produce blobs whose headers parse
+    back to the requested parameters (pure functions, no Spark)."""
+    from sift_spark.operators.multimodal import (
+        make_bmp_bytes,
+        make_wav_bytes,
+        parse_bmp,
+        parse_wav,
+        stdlib_features,
+    )
+
+    wav = parse_wav(make_wav_bytes(sample_rate=44100, n_channels=2,
+                                   bits=16, duration_ms=500))
+    assert wav["sample_rate"] == 44100
+    assert wav["n_channels"] == 2
+    assert wav["bits_per_sample"] == 16
+    assert wav["duration_ms"] == 500
+    assert wav["n_frames"] == 22050  # 44100 * 0.5s
+
+    bmp = parse_bmp(make_bmp_bytes(width=17, height=9, bit_count=24))
+    assert (bmp["width"], bmp["height"], bmp["bit_count"]) == (17, 9, 24)
+    assert bmp["top_down"] is False
+
+    feats = stdlib_features(make_wav_bytes())
+    assert feats[0] == 1.0 and feats[1] == 8000.0
+    feats = stdlib_features(make_bmp_bytes(width=4, height=3))
+    assert feats[0] == 2.0 and feats[1:3] == [4.0, 3.0]
+
+    with pytest.raises(ValueError):
+        stdlib_features(b"\x89PNG not decodable")
+    with pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError):
+        parse_bmp(b"BM" + b"\x00" * 30)  # bogus header size
 
 
 def test_lsh_bucket_cap_drops_hot_buckets(spark):
