@@ -683,6 +683,57 @@ def _q_gopher_rules(spark, sf_dir):
     )
 
 
+def _pii_augmented_docs(spark, sf_dir):
+    """documents with deterministic doc_id-derived PII appended (the
+    synthetic corpus contains none): an email, an IPv4, an SSN, a card
+    number and a phone number per row, so the profile/redaction oracle
+    is value-sensitive. The oracle SQL performs the identical
+    construction."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" card 4111 1111 1111 1111 call (555) 867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII profile + redaction (operators/pii.py): per-doc match counts
+    for each pattern class and the md5 of the redacted text, all native
+    regex expressions (no UDF, no shuffle)."""
+    from sift_spark.operators.pii import PII_PATTERNS, pii_profile, redact_pii
+
+    docs = _pii_augmented_docs(spark, sf_dir)
+    out = redact_pii(pii_profile(docs))
+    return out.select(
+        "doc_id",
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): every 97th
+    document acts as the eval set; corpus docs sharing word trigrams
+    with it are flagged with match counts + contamination ratio. The
+    benchmark gram set is broadcast -- the corpus is never shuffled
+    except the per-doc count of COLLIDING grams. (n=3 here for a
+    value-rich oracle over the tiny synthetic vocabulary; production
+    default is n=13.)"""
+    from sift_spark.operators.decontam import ngram_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_decontaminate(docs, bench, n=3)
+
+
 def _q_url_canonical(spark, sf_dir):
     """URL canonicalization collapse: two messy variants per resource
     (case/port/fragment/tracking-param/param-order differences) built
@@ -1001,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": _q_distinct_sketch,
         "site_boilerplate": _q_site_boilerplate,
         "url_canonical": _q_url_canonical,
+        "pii_redact": _q_pii_redact,
+        "decontaminate": _q_decontaminate,
         "gopher_rules": _q_gopher_rules,
         "repetition_profile": _q_repetition_profile,
         "token_counts": _q_token_counts,
@@ -1233,6 +1286,68 @@ _MINHASH_MD5_PAIRS_SQL = """
             WHERE round(n_common::DOUBLE /
                   (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
         """
+
+
+def _pii_oracle_sql():
+    """Built from the SAME PII_PATTERNS tuple the operator uses, so the
+    oracle can never drift from the engine (the patterns are written to
+    be Java-regex/RE2 bivalent: no lookarounds, explicit classes)."""
+    from sift_spark.operators.pii import PII_PATTERNS
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 ssn 123-45-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' card 4111 1111 1111 1111 call (555) 867-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pattern}')) AS n_{name}"
+        for name, pattern in PII_PATTERNS
+    )
+    redacted = "t"
+    for name, pattern in PII_PATTERNS:
+        redacted = (
+            f"regexp_replace({redacted}, '{pattern}', "
+            f"'[{name.upper()}]', 'g')"
+        )
+    return (
+        f"WITH aug AS (SELECT doc_id, {aug} AS t FROM documents) "
+        f"SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5 "
+        f"FROM aug"
+    )
+
+
+_DECONTAM_SQL = r"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                   '[ \t\r\n\f]+'), w -> w <> '') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM words WHERE len(ws) >= 3
+        )
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    totals AS (
+        SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    ),
+    matched AS (
+        SELECT g.doc_id, count(*) AS n_matched_grams
+        FROM grams g JOIN bench b ON g.gram = b.gram
+        GROUP BY g.doc_id
+    )
+    SELECT m.doc_id, m.n_matched_grams, t.n_grams,
+           round(CAST(m.n_matched_grams AS DOUBLE) / t.n_grams, 6)
+               AS contamination
+    FROM matched m JOIN totals t ON m.doc_id = t.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1769,6 +1884,8 @@ def oracle_sql() -> dict[str, str]:
                        AS passes_gopher
             FROM m
         """,
+        "pii_redact": _pii_oracle_sql(),
+        "decontaminate": _DECONTAM_SQL,
         "url_canonical": """
             WITH messy AS (
                 SELECT CASE WHEN doc_id % 2 = 0

@@ -897,3 +897,77 @@ def test_range_join_points_buckets_and_filters(spark):
     with pytest.raises(ValueError):
         range_join_points(points, intervals, "key", "ts", "start", "end",
                           bucket_seconds=0)
+
+
+# ---- pii / decontamination --------------------------------------------------------
+
+
+def test_pii_profile_and_redact(spark):
+    from sift_spark.operators.pii import pii_profile, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 192.168.1.254 end"),
+         (2, "ssn 123-45-6789 card 4111 1111 1111 1111 tel (555) 867-5309"),
+         (3, "clean text with numbers 12345 and nothing sensitive"),
+         (4, "999.300.1.1 is not an ip, 255.255.255.255 is"),
+         (5, "semver 1.2.3.4.5 here")],
+        ["doc_id", "text"])
+    prof = {r["doc_id"]: r for r in pii_profile(df).collect()}
+    assert (prof[1]["n_email"], prof[1]["n_ipv4"]) == (1, 1)
+    assert (prof[2]["n_ssn"], prof[2]["n_card"], prof[2]["n_phone"]) == \
+        (1, 1, 1)
+    assert all(prof[3][c] == 0
+               for c in ("n_email", "n_ipv4", "n_ssn", "n_card", "n_phone"))
+    # 999.300.1.1 has out-of-range octets; 255.255.255.255 is valid
+    assert prof[4]["n_ipv4"] == 1
+    # DOCUMENTED false positive: RE2-compatible patterns cannot look
+    # ahead, so a dotted version string's first four octets match
+    assert prof[5]["n_ipv4"] == 1
+
+    red = {r["doc_id"]: r["text_redacted"] for r in redact_pii(df).collect()}
+    assert red[1] == "mail [EMAIL] or [IPV4] end"
+    assert red[2] == "ssn [SSN] card [CARD] tel [PHONE]"
+    # clean text passes through untouched
+    assert red[3] == "clean text with numbers 12345 and nothing sensitive"
+
+
+def test_redact_order_prevents_remitching(spark):
+    """A card number is masked BEFORE the phone pattern runs, so its
+    digit groups can never be half-eaten as a phone match."""
+    from sift_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "pay 5105 1051 0510 5100 now")], ["doc_id", "text"])
+    out = redact_pii(df).collect()[0]["text_redacted"]
+    assert out == "pay [CARD] now"
+
+
+def test_ngram_decontaminate(spark):
+    from sift_spark.operators.decontam import (
+        ngram_decontaminate,
+        remove_contaminated,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a quick brown fox jumps over whatever else entirely"),
+         (3, "completely unrelated text about spark shuffles"),
+         (4, "short doc")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], ["doc_id", "text"])
+
+    out = {r["doc_id"]: r for r in
+           ngram_decontaminate(corpus, bench, n=5).collect()}
+    # doc 1: grams of len-5 window; "quick brown fox jumps over" present
+    assert out[1]["n_matched_grams"] == 1
+    assert out[2]["n_matched_grams"] == 1
+    assert 3 not in out and 4 not in out  # clean/short docs absent
+    assert out[1]["n_grams"] == 5  # 9 words -> 5 windows
+    assert abs(out[1]["contamination"] - 0.2) < 1e-9
+
+    kept = {r["doc_id"] for r in
+            remove_contaminated(corpus, bench, n=5).collect()}
+    assert kept == {3, 4}
+
+

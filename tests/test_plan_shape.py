@@ -214,3 +214,26 @@ def test_curation_broadcasts_keeper_side(spark):
     assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0
     # keeper agg needs one exchange; the equi-join itself is broadcast
     assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must BROADCAST: the corpus is never
+    shuffled for the collision join -- only colliding grams reach the
+    per-doc count aggregation. A SortMergeJoin here would shuffle the
+    entire exploded corpus at 100 TB."""
+    from sift_spark.operators.decontam import ngram_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "w2 w3 w4")], ["doc_id", "text"])
+    plan = plan_of(ngram_decontaminate(corpus, bench, n=3))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_pass_is_shuffle_free(spark):
+    """Profile + redaction are narrow projections: zero Exchanges."""
+    from sift_spark.operators.pii import pii_profile, redact_pii
+
+    df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
+    plan = plan_of(redact_pii(pii_profile(df)))
+    assert count_nodes(plan, "Exchange") == 0
