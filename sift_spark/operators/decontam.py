@@ -25,25 +25,17 @@ from pyspark.sql import functions as F
 
 
 def _word_grams(df, n, id_col, text_col):
-    """(id, gram) DISTINCT word n-grams per document; documents shorter
-    than n words produce no grams (nothing to collide on)."""
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[ \t\r\n\f]+"),
-        lambda w: w != "",
-    )
-    # guard: sequence(0, negative) would count DOWN; short docs get an
-    # empty index array instead
-    starts = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        starts, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
-    return (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("gram"))
-        .distinct()
-    )
+    """(_id, gram) DISTINCT word n-grams per document, delegating to
+    dedup.word_ngrams (ONE tokenization implementation to keep in sync
+    with the Java/RE2-bivalent whitespace class) with skip_short=True:
+    documents shorter than n words produce no grams -- a partial gram
+    must never collide with a benchmark n-gram."""
+    from .dedup import word_ngrams
+
+    return word_ngrams(
+        df.filter(F.col(text_col).isNotNull()), n,
+        id_col=id_col, text_col=text_col, skip_short=True,
+    ).select(F.col(id_col).alias("_id"), F.col("ngram").alias("gram"))
 
 
 def ngram_decontaminate(corpus_df, benchmark_df, n=13,

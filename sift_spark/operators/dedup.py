@@ -103,13 +103,25 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
     return shingles
 
 
-def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text"):
+def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text",
+                skip_short=False):
     """(id, ngram) word n-grams, native: split -> sliding window via
-    sequence/transform -> explode."""
+    sequence/transform -> explode.
+
+    skip_short=False (default, Jaccard semantics): a document shorter
+    than n words contributes its single truncated gram, so short near-
+    identical docs still pair. skip_short=True (decontamination
+    semantics): such documents emit NOTHING -- a partial gram must not
+    collide with a benchmark n-gram."""
     words = F.filter(
         F.split(normalized_text_col(F.col(text_col)), " "), lambda w: w != ""
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    if skip_short:
+        idx = F.when(
+            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        ).otherwise(F.array().cast("array<int>"))
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )
@@ -529,8 +541,14 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
     IS the answer: a forest of stars (node -> component min).
 
     Returns (doc_id, component_id), component_id = min id in the
-    component; same contract as :func:`connected_components` (only
-    nodes appearing in >= 1 pair are emitted)."""
+    component; same contract as :func:`connected_components` (every
+    node appearing in >= 1 pair is emitted -- including nodes whose
+    only pair is a self-pair, which label themselves)."""
+    all_nodes = (
+        pairs_df.select(F.col(id_a).alias("node"))
+        .union(pairs_df.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
     edges = (
         pairs_df.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
@@ -586,20 +604,19 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
             f"{max_iterations} rounds -- not expected for any graph "
             f"(O(log^2 n) bound); check for non-deterministic ids"
         )
-    # fixpoint edges are (node, component_min); the component min itself
-    # has no outgoing edge -- add the roots back as self-labels
-    roots = (
-        edges.select(F.col("dst").alias("node"))
-        .distinct()
-        .join(edges.select(F.col("src").alias("node")).distinct(),
-              "node", "left_anti")
+    # fixpoint edges are (node, component_min); component mins and nodes
+    # whose only pair was a self-pair have no outgoing edge -- restore
+    # them from the FULL endpoint set as self-labels (min-label parity:
+    # every pair endpoint gets a row)
+    labeled = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("comp")
+    )
+    self_labeled = (
+        all_nodes.join(labeled.select("node"), "node", "left_anti")
         .withColumn("comp", F.col("node"))
     )
-    return (
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
-        .unionByName(roots)
-        .select(F.col("node").alias("doc_id"),
-                F.col("comp").alias("component_id"))
+    return labeled.unionByName(self_labeled).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
 
 

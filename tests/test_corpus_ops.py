@@ -577,13 +577,15 @@ def test_connected_components_star_matches_label(spark):
     )
 
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (30, 30)],  # self-pair-only node: must self-label in BOTH impls
         ["id_a", "id_b"])
     label = {(r["doc_id"], r["component_id"])
              for r in connected_components(pairs).collect()}
     star = {(r["doc_id"], r["component_id"])
             for r in connected_components_star(pairs).collect()}
     assert star == label
+    assert (30, 30) in star
 
 
 def test_hash_sample_is_partitioning_invariant(spark, docs):

@@ -115,3 +115,14 @@ def test_rows_only_queries_run(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
     assert df.count() >= 0  # runs without error; schema is stable
     assert len(df.columns) > 0
+
+
+def test_registry_fits_driver_gate_cap():
+    """The round-3 driver gate silently recorded only 50 of 51
+    registered queries; the registry was consolidated to fit. This
+    guard turns the next silent truncation into a loud failure: adding
+    a query requires folding another below the cap first."""
+    assert len(entry_mod.queries()) <= 50, (
+        "driver gate caps at 50 rows -- fold queries (see "
+        "production_hash_paths / ngram_jaccard precedents) before adding"
+    )
