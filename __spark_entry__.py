@@ -847,17 +847,11 @@ def _q_lang_id(spark, sf_dir):
 
 
 def _q_token_counts(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
-        .alias("n_tokens"),
-    )
-
-
-def _q_token_counts_fallback(spark, sf_dir):
-    """Token counts from the REAL fallback encoder (the one extraction
-    budgets use when no cl100k vocab is present), oracle-checked: the
-    engine-portable FALLBACK_PATTERN lets DuckDB re-derive the count
+    """BOTH token-count forms in one gate query (folded round 4 to stay
+    under the driver's 50-row cap, both still oracle-exact): the native
+    BPE-ish regex span count AND the REAL fallback encoder's count (the
+    one extraction budgets use when no cl100k vocab is present) -- the
+    engine-portable FALLBACK_PATTERN lets DuckDB re-derive the latter
     independently (counters.py docstring)."""
     from pyspark.sql import types as T
 
@@ -866,11 +860,27 @@ def _q_token_counts_fallback(spark, sf_dir):
     tok = FallbackTokenizer()
 
     @F.pandas_udf(T.LongType())
-    def n_tokens(text: pd.Series) -> pd.Series:
+    def n_fallback(text: pd.Series) -> pd.Series:
         return text.map(lambda v: tok.count(v) if v else 0)
 
     return _docs(spark, sf_dir).select(
-        "doc_id", n_tokens(F.col("text")).alias("n_tokens_fallback")
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
+        .alias("n_tokens"),
+        n_fallback(F.col("text")).alias("n_tokens_fallback"),
+    )
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents next-fit
+    packed into 96-word training sequences within md5-portable hash
+    shards; the DuckDB oracle re-derives the exact assignment with a
+    recursive CTE (fill-state threading), proving the per-shard kernel
+    bit-for-bit."""
+    from sift_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=96, n_shards=8, portable_hash=True
     )
 
 
@@ -1057,7 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": _q_gopher_rules,
         "repetition_profile": _q_repetition_profile,
         "token_counts": _q_token_counts,
-        "token_counts_fallback": _q_token_counts_fallback,
+        "pack_sequences": _q_pack_sequences,
         "fingerprint": _q_fingerprint,
         "winnowing_md5": _q_winnowing_md5,
         # production xxhash64 twins folded into one rows-only row
@@ -1317,6 +1327,42 @@ def _pii_oracle_sql():
         f"SELECT doc_id, {counts}, md5({redacted}) AS redacted_md5 "
         f"FROM aug"
     )
+
+
+_PACKING_SQL = r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text,
+                   '[ \t\r\n\f]+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 8 AS shard
+        FROM documents
+    ),
+    ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS rn
+        FROM base
+    ),
+    packed AS (
+        SELECT shard, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS seq_no, CAST(0 AS BIGINT) AS off,
+               n_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 96
+                    THEN p.seq_no + 1 ELSE p.seq_no END,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 96
+                    THEN CAST(0 AS BIGINT) ELSE p.fill END,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 96
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        FROM ordered o
+        JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens, shard, seq_no, off AS "offset",
+           n_tokens > 96 AS oversized
+    FROM packed
+"""
 
 
 _DECONTAM_SQL = r"""
@@ -1886,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_redact": _pii_oracle_sql(),
         "decontaminate": _DECONTAM_SQL,
+        "pack_sequences": _PACKING_SQL,
         "url_canonical": """
             WITH messy AS (
                 SELECT CASE WHEN doc_id % 2 = 0
@@ -2034,9 +2081,10 @@ def oracle_sql() -> dict[str, str]:
 
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, "
-            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens FROM documents"
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens, "
+            "f.n_tokens_fallback FROM documents "
+            f"JOIN ({_fallback_token_oracle()}) f USING (doc_id)"
         ),
-        "token_counts_fallback": _fallback_token_oracle(),
         "fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
             "'g'))) AS fingerprint FROM documents"

@@ -1,0 +1,126 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+sequences -- the step between a curated corpus and an LLM data loader.
+
+Exact global bin-packing is NP-hard and inherently sequential; the
+standard practice at corpus scale (e.g. T5 / GPT-NeoX data pipelines)
+is GREEDY PACKING WITHIN SHARDS: documents are hash-sharded
+deterministically, then packed next-fit in a canonical order inside
+each shard. Waste is bounded (a sequence is only abandoned when the
+next document cannot fit) and every shard packs independently -- the
+operator is an applyInPandas over shards, embarrassingly parallel, and
+the assignment is a pure function of (doc_id, token counts, budget,
+n_shards): stable across partition layouts, cluster sizes and re-runs,
+which checkpoint/resume requires.
+
+Oversized documents (n_tokens > budget) get a sequence of their own
+and are flagged; callers chunk or drop them upstream (partial chunking
+in core/counters.py is the usual fix).
+
+The per-shard kernel is next-fit over docs ordered by id:
+
+    fill = 0; seq = 0
+    for each doc:  if fill > 0 and fill + n > budget: seq += 1; fill = 0
+                   emit (doc, seq, offset=fill); fill += n
+
+-- simple enough that a DuckDB recursive CTE re-derives the exact
+assignment (the driver-gate oracle), yet identical in shape to what the
+T5 pack_dataset op computes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq_no", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("oversized", T.BooleanType()),
+    ]
+)
+
+
+def word_count_col(col):
+    """Native whitespace word count (explicit class for Java/RE2
+    agreement), the default packing unit when no token column is
+    supplied."""
+    return F.size(
+        F.filter(
+            F.split(F.col(col) if isinstance(col, str) else col,
+                    r"[ \t\r\n\f]+"),
+            lambda w: w != "",
+        )
+    ).cast("long")
+
+
+def pack_sequences(docs_df, budget, n_shards=64, id_col="doc_id",
+                   text_col="text", tokens_col=None, portable_hash=False):
+    """(doc_id, n_tokens, shard, seq_no, offset, oversized): next-fit
+    packing of documents into sequences of at most `budget` tokens,
+    per deterministic hash shard.
+
+    tokens_col: use a precomputed token-count column instead of the
+    native word count (e.g. the BPE counts from token_counts).
+    portable_hash: md5-derived shard assignment a SQL oracle can
+    reproduce (same twin pattern as minhash/sampling); the default
+    xxhash64 is the production form."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tokens = (F.col(tokens_col).cast("long") if tokens_col
+                else word_count_col(text_col))
+    if portable_hash:
+        shard = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_shards),
+        )
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    base = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        seqs, offsets, oversized = [], [], []
+        seq = 0
+        fill = 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                seq += 1
+                fill = 0
+            seqs.append(seq)
+            offsets.append(fill)
+            oversized.append(n > budget)
+            fill += n
+        pdf = pdf.assign(seq_no=seqs, offset=offsets, oversized=oversized)
+        return pdf[["doc_id", "n_tokens", "shard", "seq_no", "offset",
+                    "oversized"]]
+
+    return base.groupBy("shard").applyInPandas(pack, PACKED_SCHEMA)
+
+
+def packing_stats(packed_df, budget):
+    """Per-shard packing efficiency: sequences, mean fill ratio, number
+    of oversized docs -- the monitor a production packing job logs."""
+    per_seq = packed_df.groupBy("shard", "seq_no").agg(
+        (F.max(F.col("offset") + F.col("n_tokens"))).alias("seq_fill"),
+        F.count("*").alias("n_docs"),
+    )
+    return per_seq.groupBy("shard").agg(
+        F.count("*").alias("n_sequences"),
+        F.round(F.avg(F.least(F.col("seq_fill"), F.lit(budget))
+                      / F.lit(float(budget))), 6).alias("mean_fill"),
+        F.sum(F.when(F.col("seq_fill") > budget, 1).otherwise(0))
+        .alias("n_oversized_seqs"),
+    )

@@ -973,3 +973,62 @@ def test_ngram_decontaminate(spark):
     assert kept == {3, 4}
 
 
+
+
+# ---- sequence packing -------------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    from sift_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 + (i * 7) % 50)) for i in range(100)]
+        + [(900, "w " * 300)],  # oversized: 300 words > budget
+        ["doc_id", "text"])
+    packed = pack_sequences(docs, budget=64, n_shards=4).cache()
+    rows = packed.collect()
+    assert len(rows) == 101  # every doc assigned exactly once
+
+    # no sequence exceeds the budget except those holding an oversized doc
+    fills = {}
+    for r in rows:
+        key = (r["shard"], r["seq_no"])
+        fills[key] = max(fills.get(key, 0), r["offset"] + r["n_tokens"])
+        assert r["oversized"] == (r["n_tokens"] > 64)
+    for (shard, seq), fill in fills.items():
+        over = [r for r in rows
+                if (r["shard"], r["seq_no"]) == (shard, seq)
+                and r["oversized"]]
+        assert fill <= 64 or over, (shard, seq, fill)
+
+    # offsets within a sequence are contiguous next-fit placements
+    by_seq = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["seq_no"],
+                                         r["doc_id"])):
+        key = (r["shard"], r["seq_no"])
+        assert r["offset"] == by_seq.get(key, 0)
+        by_seq[key] = r["offset"] + r["n_tokens"]
+
+    stats = {r["shard"]: r for r in packing_stats(packed, 64).collect()}
+    assert sum(s["n_sequences"] for s in stats.values()) == \
+        len({(r["shard"], r["seq_no"]) for r in rows})
+    assert all(0 < s["mean_fill"] <= 1.0 for s in stats.values())
+
+
+def test_pack_sequences_partition_invariant(spark):
+    """The assignment must be a pure function of the rows: identical
+    output for 1-partition and 16-partition layouts of the same input
+    (resume/determinism contract, same bar as hash_sample)."""
+    from sift_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (5 + (i * 13) % 40)) for i in range(200)],
+        ["doc_id", "text"])
+    one = {tuple(r) for r in
+           pack_sequences(docs.coalesce(1), budget=50).collect()}
+    many = {tuple(r) for r in
+            pack_sequences(docs.repartition(16), budget=50).collect()}
+    assert one == many
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, budget=0)
