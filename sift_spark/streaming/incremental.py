@@ -8,6 +8,8 @@ the pipeline); late pages are simply processed when they arrive.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..core.pipeline import SiftParams
 from ..operators.extract import extract_pages
 from ..sources.fixtures import PAGES_SCHEMA
@@ -118,6 +120,36 @@ def stream_curation(spark, input_path, output_path, checkpoint_path,
         deduped.select("doc_id", "ts", "lang_guess", "quality_score",
                        "simhash")
         .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_pii_scrub(spark, input_path, output_path, checkpoint_path,
+                     file_format="parquet"):
+    """Streaming PII scrub over a continuous document feed: profile
+    counts + in-place redaction (operators/pii.py) are stateless narrow
+    projections, so the stream needs no watermark and no state store --
+    exactly-once comes from the file-sink manifest alone. The scrubbed
+    text replaces the raw text in the sink (a training-data feed should
+    never persist the unredacted form next to it)."""
+    from ..operators.pii import PII_PATTERNS, pii_profile, redact_pii
+
+    docs = (
+        spark.readStream.format(file_format)
+        .schema("doc_id long, ts timestamp, text string")
+        .load(input_path)
+    )
+    scrubbed = redact_pii(pii_profile(docs)).select(
+        "doc_id", "ts",
+        F.col("text_redacted").alias("text"),
+        *[f"n_{name}" for name, _ in PII_PATTERNS],
+    )
+    return (
+        scrubbed.writeStream.format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")

@@ -225,3 +225,37 @@ def test_sessionize_fold_very_late_event_closes_as_singleton():
     )
     assert closed == []
     assert state == (570 * MIN, 600 * MIN, 2)
+
+
+def test_stream_pii_scrub(spark, tmp_path):
+    """Streaming PII scrub: stateless narrow projections, no state
+    store; the sink carries redacted text + per-class counts and never
+    the raw form."""
+    from datetime import datetime, timedelta
+
+    from sift_spark.streaming.incremental import stream_pii_scrub
+
+    t0 = datetime(2025, 6, 1, 8, 0, 0)
+    rows = [
+        (1, t0, "reach me at alice@example.com or (555) 867-5309 thanks"),
+        (2, t0 + timedelta(minutes=1), "server at 10.1.2.3 is fine"),
+        (3, t0 + timedelta(minutes=2), "nothing sensitive in here"),
+    ]
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, text string"
+    ).write.parquet(input_dir)
+
+    q = stream_pii_scrub(spark, input_dir, output_dir,
+                         str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    q.stop()
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(output_dir).collect()}
+    assert out[1]["text"] == "reach me at [EMAIL] or [PHONE] thanks"
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 1)
+    assert out[2]["text"] == "server at [IPV4] is fine"
+    assert out[3]["text"] == "nothing sensitive in here"
+    assert all(out[3][c] == 0 for c in
+               ("n_email", "n_ipv4", "n_ssn", "n_card", "n_phone"))
