@@ -24,20 +24,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _word_grams(df, n, id_col, text_col):
-    """(_id, gram) DISTINCT word n-grams per document, delegating to
-    dedup.word_ngrams (ONE tokenization implementation to keep in sync
-    with the Java/RE2-bivalent whitespace class) with skip_short=True:
-    documents shorter than n words produce no grams -- a partial gram
-    must never collide with a benchmark n-gram."""
-    from .dedup import word_ngrams
-
-    return word_ngrams(
-        df.filter(F.col(text_col).isNotNull()), n,
-        id_col=id_col, text_col=text_col, skip_short=True,
-    ).select(F.col(id_col).alias("_id"), F.col("ngram").alias("gram"))
-
-
 def ngram_decontaminate(corpus_df, benchmark_df, n=13,
                         id_col="doc_id", text_col="text",
                         bench_id_col=None, bench_text_col=None):
@@ -45,26 +31,43 @@ def ngram_decontaminate(corpus_df, benchmark_df, n=13,
     corpus document sharing at least one word n-gram with the benchmark
     set; contamination = matched/total grams rounded to 6 places. Docs
     with zero collisions are absent (anti-join them downstream to KEEP
-    the clean set without materializing it here)."""
+    the clean set without materializing it here).
+
+    Plan discipline (asserted in test_plan_shape): the per-document
+    distinct-gram set and its count are computed NATIVELY on an array
+    column (array_distinct + size) so the corpus gram table is never
+    shuffled for dedup or totals -- the only corpus-side shuffle is the
+    per-doc count over rows that survive the broadcast collision join
+    (for a clean corpus, almost nothing)."""
+    from .dedup import word_ngram_array
+
     bench_grams = (
-        _word_grams(
-            benchmark_df, n, bench_id_col or id_col,
-            bench_text_col or text_col,
+        benchmark_df.filter(F.col(bench_text_col or text_col).isNotNull())
+        .select(
+            F.explode(
+                F.array_distinct(
+                    word_ngram_array(bench_text_col or text_col, n,
+                                     skip_short=True)
+                )
+            ).alias("gram")
         )
-        .select("gram")
         .distinct()
     )
-    corpus_grams = _word_grams(corpus_df, n, id_col, text_col)
-    totals = corpus_grams.groupBy("_id").agg(
-        F.count("*").alias("n_grams")
+    per_doc = corpus_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            word_ngram_array(text_col, n, skip_short=True)
+        ).alias("_grams"),
     )
-    matched = (
-        corpus_grams.join(F.broadcast(bench_grams), "gram")
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_matched_grams"))
+    exploded = per_doc.select(
+        "_id",
+        F.size("_grams").alias("n_grams"),  # native total, no shuffle
+        F.explode("_grams").alias("gram"),
     )
     return (
-        matched.join(totals, "_id")
+        exploded.join(F.broadcast(bench_grams), "gram")
+        .groupBy("_id", "n_grams")  # grams already distinct per doc
+        .agg(F.count("*").alias("n_matched_grams"))
         .select(
             F.col("_id").alias(id_col),
             "n_matched_grams",

@@ -103,18 +103,20 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
     return shingles
 
 
-def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text",
-                skip_short=False):
-    """(id, ngram) word n-grams, native: split -> sliding window via
-    sequence/transform -> explode.
+def word_ngram_array(text_col, n, skip_short=False):
+    """Column of word n-grams (with duplicates, document order) -- the
+    ONE tokenization implementation shared by word_ngrams (Jaccard) and
+    decontamination, so the Java/RE2-bivalent whitespace class lives in
+    a single place.
 
-    skip_short=False (default, Jaccard semantics): a document shorter
-    than n words contributes its single truncated gram, so short near-
-    identical docs still pair. skip_short=True (decontamination
-    semantics): such documents emit NOTHING -- a partial gram must not
-    collide with a benchmark n-gram."""
+    skip_short=False (Jaccard semantics): a document shorter than n
+    words contributes its single truncated gram, so short near-identical
+    docs still pair. skip_short=True (decontamination semantics): such
+    documents yield an empty array -- a partial gram must not collide
+    with a benchmark n-gram."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
     words = F.filter(
-        F.split(normalized_text_col(F.col(text_col)), " "), lambda w: w != ""
+        F.split(normalized_text_col(col), " "), lambda w: w != ""
     )
     if skip_short:
         idx = F.when(
@@ -122,9 +124,17 @@ def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text",
         ).otherwise(F.array().cast("array<int>"))
     else:
         idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    grams = F.transform(
+    return F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
     )
+
+
+def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text",
+                skip_short=False):
+    """(id, ngram) DISTINCT word n-grams, native: split -> sliding
+    window via sequence/transform -> explode (see word_ngram_array for
+    the short-document semantics switch)."""
+    grams = word_ngram_array(text_col, n, skip_short=skip_short)
     return docs_df.select(
         F.col(id_col), F.explode(grams).alias("ngram")
     ).distinct()

@@ -228,6 +228,10 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     bench = spark.createDataFrame([(2, "w2 w3 w4")], ["doc_id", "text"])
     plan = plan_of(ngram_decontaminate(corpus, bench, n=3))
     assert "BroadcastHashJoin" in plan
+    # exactly two shuffle Exchanges: the (tiny) benchmark distinct and
+    # the post-join per-doc count -- per-doc gram dedup and totals are
+    # native array ops, so the full corpus gram table never shuffles
+    assert count_nodes(plan, "Exchange") == 2
 
 
 def test_pii_pass_is_shuffle_free(spark):
