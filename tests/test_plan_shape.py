@@ -241,3 +241,14 @@ def test_pii_pass_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a@b.co")], ["doc_id", "text"])
     plan = plan_of(redact_pii(pii_profile(df)))
     assert count_nodes(plan, "Exchange") == 0
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing is one Exchange (the shard hash) + a grouped-map kernel;
+    token counts and shard assignment are narrow column math."""
+    from sift_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = plan_of(pack_sequences(docs, budget=8, n_shards=4))
+    assert count_nodes(plan, "Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
