@@ -137,12 +137,106 @@ def media_main(argv=None):
         spark.stop()
 
 
+def run_curation_job(spark, docs_df, output_dir, lang="en",
+                     min_quality=0.5, redact=False, dedup=True,
+                     benchmark_df=None, ngram=13, pack_budget=0,
+                     n_shards=64):
+    """End-to-end corpus curation in ONE job: language + quality gates
+    (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
+    (one 16-byte-hash shuffle) -> optional benchmark decontamination
+    (broadcast gram join) -> optional sequence packing (one shard
+    shuffle). Every stage is an operator from sift_spark.operators --
+    this is the composition a training-data pipeline runs before
+    tokenization, wired for spark-submit.
+
+    Writes the curated documents to `output_dir` (and, when packing is
+    requested, the (doc -> sequence) assignment to
+    `output_dir + "_packed"`); returns the curated DataFrame re-read
+    from the sink."""
+    from .operators.dedup import dedup_exact
+    from .operators.decontam import remove_contaminated
+    from .operators.packing import pack_sequences
+    from .operators.pii import redact_pii
+    from .operators.textstats import lang_id_col, quality_cols
+
+    curated = (
+        docs_df.withColumn("lang_guess", lang_id_col(F.col("text")))
+        .withColumn("quality_score", quality_cols(F.col("text"))
+                    ["quality_score"])
+        .filter((F.col("lang_guess") == lang)
+                & (F.col("quality_score") >= min_quality))
+    )
+    if redact:
+        curated = redact_pii(curated).drop("text").withColumnRenamed(
+            "text_redacted", "text"
+        )
+    if dedup:
+        # dedup_exact keeps min-id per content hash via a content-hash
+        # equi-join -- NO keeper broadcast (the keeper set is
+        # corpus-sized at crawl scale)
+        curated = dedup_exact(curated)
+    if benchmark_df is not None:
+        curated = remove_contaminated(curated, benchmark_df, n=ngram)
+    curated.write.mode("overwrite").parquet(output_dir)
+    out = spark.read.parquet(output_dir)
+    if pack_budget:
+        pack_sequences(out, pack_budget, n_shards=n_shards).write.mode(
+            "overwrite"
+        ).parquet(output_dir + "_packed")
+    return out
+
+
+def curate_main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="sift-spark corpus curation job"
+    )
+    parser.add_argument("--input", required=True, help="docs parquet path")
+    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument("--lang", default="en")
+    parser.add_argument("--min-quality", type=float, default=0.5)
+    parser.add_argument("--redact-pii", action="store_true")
+    parser.add_argument("--no-dedup", action="store_true")
+    parser.add_argument("--benchmark", default=None,
+                        help="eval-set parquet for decontamination")
+    parser.add_argument("--ngram", type=int, default=13)
+    parser.add_argument("--pack-budget", type=int, default=0,
+                        help="token budget per training sequence "
+                             "(0 = skip packing)")
+    parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="sift-spark-curate-job", cores=args.cores)
+    out = run_curation_job(
+        spark,
+        spark.read.parquet(args.input),
+        args.output,
+        lang=args.lang,
+        min_quality=args.min_quality,
+        redact=args.redact_pii,
+        dedup=not args.no_dedup,
+        benchmark_df=(spark.read.parquet(args.benchmark)
+                      if args.benchmark else None),
+        ngram=args.ngram,
+        pack_budget=args.pack_budget,
+        n_shards=args.shards,
+    )
+    print(f"curated rows={out.count()}")
+    if owns_session:
+        spark.stop()
+
+
 def main(argv=None):
     import sys
 
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "media":
         return media_main(argv[1:])
+    if argv and argv[0] == "curate":
+        return curate_main(argv[1:])
     parser = argparse.ArgumentParser(description="sift-spark extraction job")
     parser.add_argument("--input", required=True, help="pages parquet path")
     parser.add_argument("--output", required=True, help="output directory")

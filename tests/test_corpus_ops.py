@@ -1032,3 +1032,47 @@ def test_pack_sequences_partition_invariant(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(docs, budget=0)
+
+
+def test_curation_job_end_to_end(spark, tmp_path):
+    """One spark-submit job composes the full training-data pipeline:
+    gates -> PII scrub -> exact dedup -> decontamination -> packing."""
+    from sift_spark.job import curate_main
+
+    good = ("the quick brown fox jumps over the lazy dog and that is the "
+            "story of the day with plenty of the usual words to pass the "
+            "quality gates, including commas and sentences.")
+    rows = [
+        (1, good + " mail me at bob@example.com for more."),
+        (2, good + " mail me at bob@example.com for more."),  # exact dup
+        (3, "der hund und die katze das ist nicht gut und der rest von "
+            "dem text ist auch nicht englisch hier"),          # wrong lang
+        (4, "this is an entirely different english document about the "
+            "weather in the mountains, where the snow falls early and "
+            "the trails are quiet for most of the season, sentences "
+            "flowing naturally with commas and the usual words."),
+    ]
+    bench_rows = [(100, good)]  # shares 13-grams with docs 1/2
+    input_dir = str(tmp_path / "docs_in")
+    bench_dir = str(tmp_path / "bench_in")
+    output_dir = str(tmp_path / "curated")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(input_dir)
+    spark.createDataFrame(bench_rows, ["doc_id", "text"]).write.parquet(
+        bench_dir)
+
+    curate_main([
+        "--input", input_dir, "--output", output_dir,
+        "--redact-pii", "--benchmark", bench_dir,
+        "--pack-budget", "32", "--shards", "2",
+    ])
+
+    out = {r["doc_id"]: r for r in spark.read.parquet(output_dir).collect()}
+    # doc 3: language gate; docs 1/2: dedup keeps 1, then decontamination
+    # removes it (shares the benchmark's 13-grams); doc 4 survives
+    assert set(out) == {4}
+    assert "[EMAIL]" not in out[4]["text"]  # no pii in doc 4
+    assert "bob@example.com" not in out[4]["text"]
+
+    packed = spark.read.parquet(output_dir + "_packed").collect()
+    assert {r["doc_id"] for r in packed} == {4}
+    assert all(r["offset"] == 0 for r in packed)
