@@ -19,13 +19,16 @@ class SelectorError(ValueError):
 
 
 _IDENT = r"[a-zA-Z_][a-zA-Z0-9_-]*|\*"
+# attribute values accept an optional trailing case-flag ([attr=v i]
+# case-insensitive per CSS Selectors 4; [attr=v s] explicit-sensitive)
+_ATTR_VALUE = r"""(?:\s*[~^$*|]?=\s*(?:"[^"]*"|'[^']*'|[^\]\s]*)(?:\s+[iIsS])?\s*)?"""
 _SIMPLE_RE = re.compile(
     rf"""
     (?P<tag>{_IDENT})?
     (?P<rest>(?:
         \.[a-zA-Z_][a-zA-Z0-9_-]*      |   # class
         \#[a-zA-Z_][a-zA-Z0-9_-]*      |   # id
-        \[[a-zA-Z_][a-zA-Z0-9_-]*(?:[~^$*|]?=(?:"[^"]*"|'[^']*'|[^\]]*))?\] |
+        \[[a-zA-Z_][a-zA-Z0-9_-]*{_ATTR_VALUE}\] |
         :[a-zA-Z-]+(?:\([^()]*\))?         # pseudo-class
     )*)
     """,
@@ -34,7 +37,9 @@ _SIMPLE_RE = re.compile(
 _PART_RE = re.compile(
     r"""\.([a-zA-Z_][a-zA-Z0-9_-]*)
       | \#([a-zA-Z_][a-zA-Z0-9_-]*)
-      | \[([a-zA-Z_][a-zA-Z0-9_-]*)(?:([~^$*|]?=)("[^"]*"|'[^']*'|[^\]]*))?\]
+      | \[([a-zA-Z_][a-zA-Z0-9_-]*)
+           (?:\s*([~^$*|]?=)\s*("[^"]*"|'[^']*'|[^\]\s]*)
+              (?:\s+([iIsS]))?\s*)?\]
       | :([a-zA-Z-]+)(?:\(([^()]*)\))?
     """,
     re.VERBOSE,
@@ -99,7 +104,7 @@ _PSEUDO_NAMES = frozenset((
     "only-child",
     "first-of-type", "last-of-type", "nth-of-type", "nth-last-of-type",
     "only-of-type",
-    "empty", "not",
+    "empty", "not", "root", "has",
 ))
 _NTH_PSEUDOS = frozenset((
     "nth-child", "nth-of-type", "nth-last-child", "nth-last-of-type",
@@ -129,12 +134,15 @@ class _Simple:
         for ident in self.ids:
             if node.attrs.get("id") != ident:
                 return False
-        for name, op, value in self.attr_tests:
+        for name, op, value, ci in self.attr_tests:
             if name not in node.attrs:
                 return False
             actual = node.attrs[name]
             if op is None:
                 continue
+            if ci:  # [attr=v i] -- ASCII-case-insensitive value compare
+                actual = actual.lower()
+                value = value.lower()
             if op == "=" and actual != value:
                 return False
             if op == "~=" and value not in actual.split():
@@ -150,6 +158,18 @@ class _Simple:
         for name, arg in self.pseudo_tests:
             if name == "not":
                 if arg.matches(node):
+                    return False
+                continue
+            if name == "root":
+                # the document's top element (parent is the synthetic
+                # parse root)
+                if node.parent is not None and node.parent.tag not in (
+                    None, "root"
+                ):
+                    return False
+                continue
+            if name == "has":
+                if not _has_matches(node, arg):
                     return False
                 continue
             if name == "empty":
@@ -186,11 +206,11 @@ def _parse_simple(text):
             classes.append(part.group(1))
         elif part.group(2):
             ids.append(part.group(2))
-        elif part.group(6):
-            name = part.group(6).lower()
+        elif part.group(7):
+            name = part.group(7).lower()
             if name not in _PSEUDO_NAMES:
                 raise SelectorError(f"unsupported pseudo-class: :{name}")
-            arg = part.group(7)
+            arg = part.group(8)
             if name in _NTH_PSEUDOS:
                 if arg is None:
                     raise SelectorError(f":{name} requires an argument")
@@ -203,6 +223,10 @@ def _parse_simple(text):
                         ":not accepts a simple selector only"
                     )
                 pseudo_tests.append((name, _parse_simple(arg.strip())))
+            elif name == "has":
+                if not arg or not arg.strip():
+                    raise SelectorError(":has requires an argument")
+                pseudo_tests.append((name, _parse_has_arg(arg)))
             else:
                 if arg is not None:
                     raise SelectorError(f":{name} takes no argument")
@@ -211,7 +235,9 @@ def _parse_simple(text):
             value = part.group(5)
             if value is not None and value[:1] in "\"'" and value[-1:] == value[:1]:
                 value = value[1:-1]
-            attr_tests.append((part.group(3).lower(), part.group(4), value))
+            ci = (part.group(6) or "").lower() == "i"
+            attr_tests.append((part.group(3).lower(), part.group(4),
+                               value, ci))
     tag = m.group("tag")
     return _Simple(tag.lower() if tag else None, classes, ids, attr_tests,
                    tuple(pseudo_tests))
@@ -241,7 +267,8 @@ def _parse_compound_chain(selector):
     tokens = []
     pos = 0
     for m in re.finditer(
-        r"\s*(?:([>+~])|((?:\([^()]*\)|[^\s>+~(])+))", normalized
+        r"\s*(?:([>+~])|((?:\([^()]*\)|\[[^\]]*\]|[^\s>+~([])+))",
+        normalized,
     ):
         if m.start() != pos:
             raise SelectorError(f"invalid selector syntax: {selector!r}")
@@ -279,11 +306,36 @@ def _parse_compound_chain(selector):
     return chain
 
 
+def _split_top_commas(selector):
+    """Split a selector list on commas OUTSIDE parens/brackets (a comma
+    inside ':has(a, b)' or '[data-x="1,2"]' is not a list separator)."""
+    parts, cur = [], []
+    depth_paren = depth_bracket = 0
+    for ch in selector:
+        if ch == "(":
+            depth_paren += 1
+        elif ch == ")":
+            depth_paren -= 1
+        elif ch == "[":
+            depth_bracket += 1
+        elif ch == "]":
+            depth_bracket -= 1
+        if ch == "," and depth_paren == 0 and depth_bracket == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
 def compile_selector(selector):
     """Compile a selector list; returns an object with .select(root)."""
     if not selector or not selector.strip():
         raise SelectorError("empty selector")
-    chains = [_parse_compound_chain(part) for part in selector.split(",")]
+    chains = [
+        _parse_compound_chain(part) for part in _split_top_commas(selector)
+    ]
     return _Compiled(chains)
 
 
@@ -364,6 +416,61 @@ def _match_prefix(chain, idx, node):
         if simple.matches(parent) and _match_prefix(chain, idx - 1, parent):
             return True
         parent = parent.parent
+    return False
+
+
+def _parse_has_arg(arg):
+    """Parse a :has() argument: a comma list of RELATIVE selectors, each
+    optionally starting with a combinator (':has(> p)', ':has(~ li a)').
+    Returns [(anchor_combinator, chain), ...]. Nested parens inside the
+    argument (':has(:nth-child(2))') are a documented non-goal of the
+    tokenizer, like the reference's rarely-hit cascadia tail."""
+    alternatives = []
+    for alt in arg.split(","):
+        alt = alt.strip()
+        if not alt:
+            raise SelectorError(f"empty :has() alternative: {arg!r}")
+        anchor = " "
+        if alt[0] in ">+~":
+            anchor = alt[0]
+            alt = alt[1:].strip()
+            if not alt:
+                raise SelectorError(f":has cannot end with {anchor!r}")
+        alternatives.append((anchor, _parse_compound_chain(alt)))
+    return alternatives
+
+
+class _IsNode:
+    """Anchor pseudo-simple for :has(): matches one specific node, so
+    the generic combinator machinery (_match_prefix) resolves the
+    relative selector against the anchored element."""
+
+    __slots__ = ("target",)
+
+    def __init__(self, target):
+        self.target = target
+
+    def matches(self, node):
+        return node is self.target
+
+
+def _has_matches(node, alternatives):
+    """node:has(alt, ...) -- true when some element matches one of the
+    relative chains anchored at `node`. Implemented by prefixing each
+    chain with an identity anchor and running the standard chain match
+    over the whole document: O(doc) per test, correctness-tier (the
+    extraction UDF caches compiled selectors; pages are small)."""
+    root = node
+    while root.parent is not None:
+        root = root.parent
+    for anchor_comb, chain in alternatives:
+        full = ([(" ", _IsNode(node)), (anchor_comb, chain[0][1])]
+                + chain[1:])
+        for candidate, ancestors in _walk(root):
+            if candidate is node:
+                continue
+            if _chain_matches(full, candidate, ancestors):
+                return True
     return False
 
 

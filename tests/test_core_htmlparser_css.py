@@ -366,3 +366,67 @@ def test_numeric_c1_charrefs_remap_to_windows1252_glyphs():
     assert unescape("&#x93;x&#x94;") == "“x”"
     assert unescape("&#128;") == "€"
     assert unescape("&#65;") == "A"  # ordinary refs unchanged
+
+
+# ---- selectors 4 long tail: :has(), :root, [attr=v i] -----------------------------
+
+HAS_DOC = parse(
+    '<html><body>'
+    '<div id="a"><p class="x">one</p></div>'
+    '<div id="b"><span>two</span></div>'
+    '<div id="c"><section><p class="x">deep</p></section></div>'
+    '<ul id="lst"><li id="l1"></li><li id="l2"><a href="#">go</a></li></ul>'
+    '<h2 id="h">t</h2><p id="after">tail</p>'
+    '</body></html>'
+)
+
+
+def _has_ids(selector):
+    return [n.attrs.get("id") for n in css.select(HAS_DOC, selector)]
+
+
+def test_has_descendant():
+    assert _has_ids("div:has(p.x)") == ["a", "c"]  # deep descendant counts
+
+
+def test_has_child_combinator():
+    assert _has_ids("div:has(> p.x)") == ["a"]  # c's p is nested deeper
+
+
+def test_has_sibling_combinators():
+    assert _has_ids("h2:has(+ p)") == ["h"]
+    assert _has_ids("li:has(a)") == ["l2"]
+    assert _has_ids("li:has(~ li)") == ["l1"]  # has a later sibling
+
+
+def test_has_selector_list_and_not_interaction():
+    assert _has_ids("div:has(span, p.x)") == ["a", "b", "c"]
+    assert _has_ids("div:not(.z):has(> span)") == ["b"]
+
+
+def test_has_requires_argument():
+    with pytest.raises(css.SelectorError):
+        css.compile_selector("div:has()")
+    with pytest.raises(css.SelectorError):
+        css.compile_selector("div:has(>)")
+
+
+def test_root_matches_document_element():
+    got = css.select(HAS_DOC, ":root")
+    assert [n.tag for n in got] == ["html"]
+    assert css.select(HAS_DOC, ":root body")[0].tag == "body"
+    # fragments without <html>: the top-level element(s) are the roots
+    frag = parse("<div><p>x</p></div>")
+    assert [n.tag for n in css.select(frag, ":root")] == ["div"]
+
+
+def test_attr_case_insensitive_flag():
+    doc = parse('<a href="HTTPS://Example.COM/Path">x</a>'
+                '<a href="https://example.com/path">y</a>'
+                '<div data-kind="Video Large"></div>')
+    assert len(css.select(doc, '[href="https://example.com/path" i]')) == 2
+    assert len(css.select(doc, '[href="https://example.com/path"]')) == 1
+    assert len(css.select(doc, '[href="https://example.com/path" s]')) == 1
+    assert len(css.select(doc, '[href^="HTTPS" i]')) == 2
+    assert len(css.select(doc, '[data-kind~="video" i]')) == 1
+    assert len(css.select(doc, '[data-kind~="video"]')) == 0
