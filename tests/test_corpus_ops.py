@@ -1076,3 +1076,44 @@ def test_curation_job_end_to_end(spark, tmp_path):
     packed = spark.read.parquet(output_dir + "_packed").collect()
     assert {r["doc_id"] for r in packed} == {4}
     assert all(r["offset"] == 0 for r in packed)
+
+
+def test_pii_scrub_to_zero_property():
+    """Property: after redaction, the profile counts are zero for every
+    class -- over structured compositions of words, PII snippets and
+    digit runs (pure-regex check; the Spark expressions use the same
+    PII_PATTERNS via the same Java-regex semantics for these ASCII
+    patterns)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sift_spark.operators.pii import PII_PATTERNS
+
+    words = st.sampled_from(
+        ["alpha", "beta", "the", "data", "x9", "v1.2", "2024", "-", "(a)"])
+    pii = st.sampled_from([
+        "bob@example.org", "a.b+c@mail.co", "10.0.0.1", "255.255.255.255",
+        "123-45-6789", "4111 1111 1111 1111", "(555) 867-5309",
+        "555-867-5309", "555.867.5309",
+    ])
+    digit_runs = st.text(alphabet="0123456789- .()", min_size=1,
+                         max_size=24)
+    token = st.one_of(words, pii, digit_runs)
+
+    def redact(text):
+        for name, pattern in PII_PATTERNS:
+            text = re.sub(pattern, f"[{name.upper()}]", text)
+        return text
+
+    @given(st.lists(token, max_size=12))
+    @settings(max_examples=300, deadline=None)
+    def check(tokens):
+        text = " ".join(tokens)
+        scrubbed = redact(text)
+        for name, pattern in PII_PATTERNS:
+            assert not re.search(pattern, scrubbed), (
+                name, text, scrubbed)
+
+    check()
