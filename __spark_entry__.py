@@ -1332,8 +1332,9 @@ def _pii_oracle_sql():
 _PACKING_SQL = r"""
     WITH RECURSIVE base AS (
         SELECT doc_id,
-               CAST(len(list_filter(regexp_split_to_array(text,
-                   '[ \t\r\n\f]+'), w -> w <> '')) AS BIGINT) AS n_tokens,
+               CAST(coalesce(len(list_filter(regexp_split_to_array(text,
+                   '[ \t\r\n\f]+'), w -> w <> '')), 0) AS BIGINT)
+                   AS n_tokens,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                    % 8 AS shard
         FROM documents

@@ -18,7 +18,7 @@ tiktoken"):
     characters -- stable, order-free, and span-preserving, so
     CreatePartialText semantics (encode, slice, decode = exact prefix of
     the input) hold, and the count is oracle-checked cross-engine by the
-    driver gate (token_counts_fallback).
+    driver gate (the n_tokens_fallback column of the token_counts query).
 
 The reference's own tests never assert exact token counts
 (counter_test.go:85-97), only positivity and empty->0.
@@ -41,7 +41,7 @@ CHARS = "chars"
 # lookahead, ordered alternation. The SAME pattern string therefore
 # tokenizes identically in the Python kernel, in Spark-native
 # regexp_extract_all, and in a DuckDB oracle, which is what lets the
-# driver gate hash-check the real encoder (token_counts_fallback).
+# driver gate hash-check the real encoder (the n_tokens_fallback column of the token_counts query).
 # Every character is covered by some branch, so the matches partition
 # the input (span-preserving: decode(encode[:k]) is an exact prefix).
 # whitespace is the EXPLICIT class [ \t\r\n\f], not \s: Python re.ASCII

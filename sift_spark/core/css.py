@@ -307,12 +307,19 @@ def _parse_compound_chain(selector):
 
 
 def _split_top_commas(selector):
-    """Split a selector list on commas OUTSIDE parens/brackets (a comma
-    inside ':has(a, b)' or '[data-x="1,2"]' is not a list separator)."""
+    """Split a selector list on commas OUTSIDE parens, brackets and
+    quoted strings (a comma inside ':has(a, b)', '[data-x="1,2"]' or a
+    paren inside '[data-x="(a"]' must not affect the split)."""
     parts, cur = [], []
     depth_paren = depth_bracket = 0
+    quote = None
     for ch in selector:
-        if ch == "(":
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch == "(":
             depth_paren += 1
         elif ch == ")":
             depth_paren -= 1
@@ -320,11 +327,11 @@ def _split_top_commas(selector):
             depth_bracket += 1
         elif ch == "]":
             depth_bracket -= 1
-        if ch == "," and depth_paren == 0 and depth_bracket == 0:
+        elif ch == "," and depth_paren == 0 and depth_bracket == 0:
             parts.append("".join(cur))
             cur = []
-        else:
-            cur.append(ch)
+            continue
+        cur.append(ch)
     parts.append("".join(cur))
     return parts
 
@@ -426,7 +433,7 @@ def _parse_has_arg(arg):
     argument (':has(:nth-child(2))') are a documented non-goal of the
     tokenizer, like the reference's rarely-hit cascadia tail."""
     alternatives = []
-    for alt in arg.split(","):
+    for alt in _split_top_commas(arg):
         alt = alt.strip()
         if not alt:
             raise SelectorError(f"empty :has() alternative: {arg!r}")

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 def ngram_decontaminate(corpus_df, benchmark_df, n=13,
                         id_col="doc_id", text_col="text",
-                        bench_id_col=None, bench_text_col=None):
+                        bench_text_col=None):
     """(doc_id, n_matched_grams, n_grams, contamination) for every
     corpus document sharing at least one word n-gram with the benchmark
     set; contamination = matched/total grams rounded to 6 places. Docs

@@ -46,15 +46,13 @@ PACKED_SCHEMA = T.StructType(
 
 
 def word_count_col(col):
-    """Native whitespace word count (explicit class for Java/RE2
-    agreement), the default packing unit when no token column is
-    supplied."""
-    return F.size(
-        F.filter(
-            F.split(F.col(col) if isinstance(col, str) else col,
-                    r"[ \t\r\n\f]+"),
-            lambda w: w != "",
-        )
+    """Native whitespace word count, the default packing unit when no
+    token column is supplied -- delegates to textstats so the
+    engine-portable whitespace class lives in ONE place."""
+    from .textstats import whitespace_token_count_col
+
+    return whitespace_token_count_col(
+        F.col(col) if isinstance(col, str) else col
     ).cast("long")
 
 
@@ -85,7 +83,10 @@ def pack_sequences(docs_df, budget, n_shards=64, id_col="doc_id",
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     base = docs_df.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        n_tokens.alias("n_tokens"),
+        # null text / null counts pack as 0-token docs (sibling
+        # operators pass null rows through; a NaN here would kill the
+        # grouped kernel's int conversion)
+        F.coalesce(n_tokens, F.lit(0)).alias("n_tokens"),
         shard.alias("shard"),
     )
 

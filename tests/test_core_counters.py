@@ -97,8 +97,9 @@ def test_tfidf_exact_scores():
 def test_fallback_pattern_is_engine_portable():
     """The fallback pre-tokenizer must stay in the Python-re / Java-regex
     / RE2 common subset so the driver's DuckDB oracle can re-derive the
-    count (token_counts_fallback). Checked directly against DuckDB here;
-    the Spark side is checked by tests/test_entry_oracle.py."""
+    count (the n_tokens_fallback column of the token_counts gate query).
+    Checked directly against DuckDB here; the Spark side is checked by
+    tests/test_entry_oracle.py."""
     import duckdb
 
     from sift_spark.core.counters import FALLBACK_PATTERN, FallbackTokenizer

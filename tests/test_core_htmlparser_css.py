@@ -430,3 +430,16 @@ def test_attr_case_insensitive_flag():
     assert len(css.select(doc, '[href^="HTTPS" i]')) == 2
     assert len(css.select(doc, '[data-kind~="video" i]')) == 1
     assert len(css.select(doc, '[data-kind~="video"]')) == 0
+
+
+def test_selector_list_quotes_and_has_commas():
+    """Review regressions: quoted parens/commas must not confuse the
+    top-level comma split or the :has() argument split."""
+    doc = parse('<div><p data-x="a,b">in</p></div><p id="q">out</p>'
+                '<span data-x="(a"></span><em data-x="a)b"></em>')
+    assert [n.tag for n in css.select(doc, 'div:has([data-x="a,b"])')] == \
+        ["div"]
+    assert [n.tag for n in css.select(doc, '[data-x="(a"], p#q')] == \
+        ["p", "span"]
+    assert [n.tag for n in css.select(doc, '[data-x="a)b"], p#q')] == \
+        ["p", "em"]

@@ -1117,3 +1117,17 @@ def test_pii_scrub_to_zero_property():
                 name, text, scrubbed)
 
     check()
+
+
+def test_pack_sequences_null_text_packs_as_zero(spark):
+    """Null-text rows pack as 0-token docs instead of killing the
+    grouped kernel (sibling-operator null contract)."""
+    from sift_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "five words of real text"), (2, None), (3, "more words here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            pack_sequences(docs, budget=10, n_shards=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["oversized"] is False
