@@ -153,3 +153,33 @@ def test_pages_from_documents(spark):
     for row in sample:
         assert "Document" in row["text"]
         assert "Copyright 2025" not in row["text"]
+
+
+def test_selectors4_through_spark_extraction(spark):
+    """The Selectors-4 long tail (:has, :root, [attr i]) works through
+    the full Arrow-UDF extraction path, not just the core matcher."""
+    from sift_spark.core.pipeline import SiftParams
+    from sift_spark.operators.extract import extract_pages
+
+    html = (
+        '<html><body>'
+        '<div class="card"><h3>With link</h3><a href="HTTPS://X.CO">go</a>'
+        '</div>'
+        '<div class="card"><h3>No link</h3><p>plain</p></div>'
+        '</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("s4://1", bytearray(html.encode()))], "url string, html binary"
+    )
+    by_sel = {}
+    for sel in ("div.card:has(a)", 'div.card:has([href^="https" i])',
+                ":root"):
+        params = SiftParams(selector=sel)
+        row = extract_pages(pages, params).collect()[0]
+        assert row["error"] is None, (sel, row["error"])
+        by_sel[sel] = row["text"]
+    assert "With link" in by_sel["div.card:has(a)"]
+    assert "No link" not in by_sel["div.card:has(a)"]
+    assert by_sel['div.card:has([href^="https" i])'] == \
+        by_sel["div.card:has(a)"]
+    assert "With link" in by_sel[":root"] and "No link" in by_sel[":root"]
