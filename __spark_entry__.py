@@ -444,38 +444,27 @@ def _q_production_hash_paths(spark, sf_dir):
     )
     from sift_spark.operators.textstats import winnowing_fingerprints
 
+    def checksum_row(df, path, checksum_expr):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.expr(f"bit_xor({checksum_expr})"), F.lit(0))
+            .alias("checksum"),
+        ).select(F.lit(path).alias("path"), "*")
+
     docs = _docs(spark, sf_dir)
-    mh = (
+    mh = checksum_row(
         minhash_near_duplicates(
             docs, k=8, n_hashes=32, n_bands=8, min_jaccard=0.5
-        )
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.coalesce(
-                F.expr("bit_xor(shiftleft(id_a, 20) ^ id_b)"), F.lit(0)
-            ).alias("checksum"),
-        )
-        .select(F.lit("minhash_lsh_xxhash").alias("path"), "*")
+        ),
+        "minhash_lsh_xxhash", "shiftleft(id_a, 20) ^ id_b",
     )
-    sh = (
-        docs.select(simhash64_udf(F.col("text")).alias("simhash"), "doc_id")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.coalesce(F.expr("bit_xor(simhash ^ doc_id)"), F.lit(0)).alias(
-                "checksum"
-            ),
-        )
-        .select(F.lit("simhash_xxhash").alias("path"), "*")
+    sh = checksum_row(
+        docs.select(simhash64_udf(F.col("text")).alias("simhash"), "doc_id"),
+        "simhash_xxhash", "simhash ^ doc_id",
     )
-    wf = (
-        winnowing_fingerprints(docs, k=8, window=4)
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.coalesce(
-                F.expr("bit_xor(fingerprint ^ doc_id)"), F.lit(0)
-            ).alias("checksum"),
-        )
-        .select(F.lit("winnowing_xxhash").alias("path"), "*")
+    wf = checksum_row(
+        winnowing_fingerprints(docs, k=8, window=4),
+        "winnowing_xxhash", "fingerprint ^ doc_id",
     )
     return mh.unionByName(sh).unionByName(wf)
 
@@ -1335,8 +1324,8 @@ _PACKING_SQL = r"""
                CAST(coalesce(len(list_filter(regexp_split_to_array(text,
                    '[ \t\r\n\f]+'), w -> w <> '')), 0) AS BIGINT)
                    AS n_tokens,
-               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 8 AS shard
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                   1, 8))::BIGINT % 8 AS shard
         FROM documents
     ),
     ordered AS (

@@ -72,13 +72,11 @@ def pack_sequences(docs_df, budget, n_shards=64, id_col="doc_id",
     n_tokens = (F.col(tokens_col).cast("long") if tokens_col
                 else word_count_col(text_col))
     if portable_hash:
-        shard = F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-                16, 10,
-            ).cast("long"),
-            F.lit(n_shards),
-        )
+        # the same md5-prefix bucket sampling.py uses (one portable-hash
+        # implementation engine-wide; the oracle reproduces md5(id ':0'))
+        from .sampling import sample_bucket_col
+
+        shard = F.pmod(sample_bucket_col(id_col, seed=0), F.lit(n_shards))
     else:
         shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     base = docs_df.select(
