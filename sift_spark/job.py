@@ -151,21 +151,37 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
 
     Writes the curated documents to `output_dir` (and, when packing is
     requested, the (doc -> sequence) assignment to
-    `output_dir + "_packed"`); returns the curated DataFrame re-read
-    from the sink."""
+    `output_dir + "_packed"`); returns (curated DataFrame re-read from
+    the sink, stage-count metrics dict). Stage counts come from
+    DataFrame.observe, piggybacked on the sink write -- ZERO extra jobs
+    (a .count() per stage would re-run the upstream pipeline four times
+    at crawl scale). An observed count can be missing if AQE prunes an
+    empty subtree (the documented Observation gotcha); it is reported
+    as None rather than crashing the job."""
+    from pyspark.sql import Observation
+
     from .operators.dedup import dedup_exact
     from .operators.decontam import remove_contaminated
     from .operators.packing import pack_sequences
     from .operators.pii import redact_pii
     from .operators.textstats import lang_id_col, quality_cols
 
+    observations = {}
+
+    def observed(df, stage):
+        obs = Observation(f"curate_{stage}")
+        observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    curated = observed(docs_df, "input")
     curated = (
-        docs_df.withColumn("lang_guess", lang_id_col(F.col("text")))
+        curated.withColumn("lang_guess", lang_id_col(F.col("text")))
         .withColumn("quality_score", quality_cols(F.col("text"))
                     ["quality_score"])
         .filter((F.col("lang_guess") == lang)
                 & (F.col("quality_score") >= min_quality))
     )
+    curated = observed(curated, "after_gates")
     if redact:
         curated = redact_pii(curated).drop("text").withColumnRenamed(
             "text_redacted", "text"
@@ -174,16 +190,26 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # dedup_exact keeps min-id per content hash via a content-hash
         # equi-join -- NO keeper broadcast (the keeper set is
         # corpus-sized at crawl scale)
-        curated = dedup_exact(curated)
+        curated = observed(dedup_exact(curated), "after_dedup")
     if benchmark_df is not None:
-        curated = remove_contaminated(curated, benchmark_df, n=ngram)
+        curated = observed(
+            remove_contaminated(curated, benchmark_df, n=ngram),
+            "after_decontam",
+        )
     curated.write.mode("overwrite").parquet(output_dir)
     out = spark.read.parquet(output_dir)
     if pack_budget:
         pack_sequences(out, pack_budget, n_shards=n_shards).write.mode(
             "overwrite"
         ).parquet(output_dir + "_packed")
-    return out
+
+    metrics = {}
+    for stage, obs in observations.items():
+        try:
+            metrics[stage] = obs.get["n"]
+        except Exception:
+            metrics[stage] = None  # AQE-pruned empty subtree
+    return out, metrics
 
 
 def curate_main(argv=None):
@@ -210,7 +236,7 @@ def curate_main(argv=None):
 
     owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="sift-spark-curate-job", cores=args.cores)
-    out = run_curation_job(
+    out, metrics = run_curation_job(
         spark,
         spark.read.parquet(args.input),
         args.output,
@@ -224,7 +250,8 @@ def curate_main(argv=None):
         pack_budget=args.pack_budget,
         n_shards=args.shards,
     )
-    print(f"curated rows={out.count()}")
+    stages = " ".join(f"{k}={v}" for k, v in metrics.items())
+    print(f"curated rows={out.count()} {stages}")
     if owns_session:
         spark.stop()
 

@@ -1131,3 +1131,23 @@ def test_pack_sequences_null_text_packs_as_zero(spark):
             pack_sequences(docs, budget=10, n_shards=2).collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[2]["n_tokens"] == 0 and rows[2]["oversized"] is False
+
+
+def test_curation_job_stage_metrics(spark, tmp_path):
+    """Stage counts ride the sink write via Observation -- no extra
+    jobs -- and report the funnel (input -> gates -> dedup)."""
+    from sift_spark.job import run_curation_job
+
+    good = ("the quick brown fox jumps over the lazy dog and that is the "
+            "story of the day with plenty of the usual words to pass the "
+            "quality gates, including commas and sentences.")
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, "der hund und die katze das ist nicht "
+                                   "gut und der rest ist deutsch hier")],
+        ["doc_id", "text"])
+    out, metrics = run_curation_job(
+        spark, docs, str(tmp_path / "curated"))
+    assert out.count() == 1
+    assert metrics["input"] == 3
+    assert metrics["after_gates"] == 2   # german doc gated
+    assert metrics["after_dedup"] == 1   # twin collapsed
