@@ -1,0 +1,201 @@
+"""WARC ingestion: Common-Crawl archive files -> the pages table.
+
+The reference consumes URLs/files one at a time; a crawl-scale pipeline
+ingests WARC segment files (ISO 28500). This connector is stdlib-only:
+
+  * record framing: `WARC/1.x` version line, CRLF header block,
+    Content-Length payload, CRLF CRLF separator
+  * Common Crawl `.warc.gz` stores ONE GZIP MEMBER PER RECORD;
+    Python's gzip handles the multi-member stream transparently
+  * `response` records carry an HTTP response as payload -- status
+    line + headers are split off at the first blank line and the body
+    becomes the `html` BINARY column (charset stays undecoded; the
+    extraction UDF sniffs it, core/encoding.py)
+
+Distribution model: one task per WARC file via Spark's `binaryFile`
+source -- gzip members are not seekable-splittable without an external
+index, and Common Crawl ships ~64k segment files per crawl (~1 GB
+each), so FILES are the natural parallelism unit at 10^12-document
+scale; `maxPartitionBytes` never splits binaryFile rows. Parsing runs
+in mapInPandas (Arrow-streamed), one file per row, and malformed
+records become error rows rather than task failures (one corrupt
+record must not kill a 1 GB segment).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def iter_warc_records(stream):
+    """Yield (headers: dict[str, str], payload: bytes) per WARC record.
+
+    Framing errors raise ValueError with the byte offset context;
+    callers decide whether that fails the file or becomes an error
+    row."""
+    while True:
+        version = stream.readline()
+        # tolerate the inter-record CRLF CRLF separators
+        while version in (b"\r\n", b"\n"):
+            version = stream.readline()
+        if not version:
+            return
+        if not version.startswith(b"WARC/"):
+            raise ValueError(
+                f"expected WARC version line, got {version[:40]!r}"
+            )
+        headers = {}
+        while True:
+            line = stream.readline()
+            if not line:
+                raise ValueError("EOF inside WARC header block")
+            if line in (b"\r\n", b"\n"):
+                break
+            if b":" not in line:
+                raise ValueError(f"malformed WARC header {line[:40]!r}")
+            name, _, value = line.partition(b":")
+            headers[name.decode("ascii", "replace").strip().lower()] = (
+                value.decode("utf-8", "replace").strip()
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record without valid Content-Length")
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError(
+                f"truncated WARC payload ({len(payload)}/{length} bytes)"
+            )
+        yield headers, payload
+
+
+def split_http_response(payload):
+    """HTTP response payload -> (status_line, body bytes). The body
+    starts after the first blank line; a payload without one is
+    returned whole (some archives store raw bodies)."""
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = payload.find(sep)
+        if idx >= 0:
+            status = payload[: payload.find(b"\n")].rstrip(b"\r").decode(
+                "ascii", "replace"
+            )
+            return status, payload[idx + len(sep):]
+    return "", payload
+
+
+def parse_warc_member(data, warc_file=""):
+    """One WARC file's bytes (gz or plain) -> list of page dicts
+    (url, warc_ts ISO string, html, error). Only `response` records
+    produce pages; request/metadata/warcinfo records are skipped.
+    A framing error ends the file with one error row carrying the
+    pages parsed so far (the stream is unrecoverable past a broken
+    frame)."""
+    if data[:2] == b"\x1f\x8b":
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    pages = []
+    try:
+        for headers, payload in iter_warc_records(stream):
+            if headers.get("warc-type") != "response":
+                continue
+            url = headers.get("warc-target-uri")
+            if not url:
+                continue
+            _status, body = split_http_response(payload)
+            pages.append(
+                {
+                    "url": url,
+                    "warc_ts": headers.get("warc-date"),
+                    "html": body,
+                    "warc_file": warc_file,
+                    "error": None,
+                }
+            )
+    except (ValueError, EOFError, OSError) as exc:
+        pages.append(
+            {
+                "url": None,
+                "warc_ts": None,
+                "html": None,
+                "warc_file": warc_file,
+                "error": f"WARC parse error: {exc}",
+            }
+        )
+    return pages
+
+
+def read_warc(spark, path):
+    """WARC files at `path` (glob ok; .warc or .warc.gz) -> DataFrame
+    (url, warc_ts, html, warc_file, error): the pages-table shape plus
+    provenance. One task per file (see module docstring); timestamps
+    parse from WARC-Date ISO form natively after the UDF."""
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def parse_files(iterator):
+        for pdf in iterator:
+            rows = []
+            for warc_file, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_member(bytes(content), warc_file))
+            out = pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "warc_file",
+                               "error"]
+            )
+            yield out
+
+    parsed_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.StringType()),
+            T.StructField("html", T.BinaryType()),
+            T.StructField("warc_file", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+    parsed = raw.select("path", "content").mapInPandas(
+        parse_files, parsed_schema
+    )
+    return parsed.withColumn(
+        "warc_ts",
+        F.to_timestamp(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ssX"),
+    )
+
+
+def build_warc_bytes(records, compress=False, per_record_gzip=False):
+    """Deterministic WARC writer for tests/fixtures: `records` is a
+    list of (warc_type, url, date_iso, payload_bytes). per_record_gzip
+    reproduces Common Crawl's one-gzip-member-per-record layout."""
+    members = []
+    for warc_type, url, date_iso, payload in records:
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + warc_type.encode(),
+        ]
+        if url:
+            headers.append(b"WARC-Target-URI: " + url.encode())
+        if date_iso:
+            headers.append(b"WARC-Date: " + date_iso.encode())
+        headers.append(b"Content-Length: " + str(len(payload)).encode())
+        record = (b"\r\n".join(headers) + b"\r\n\r\n" + payload
+                  + b"\r\n\r\n")
+        members.append(record)
+    if per_record_gzip:
+        return b"".join(gzip.compress(m) for m in members)
+    blob = b"".join(members)
+    return gzip.compress(blob) if compress else blob

@@ -1151,3 +1151,72 @@ def test_curation_job_stage_metrics(spark, tmp_path):
     assert metrics["input"] == 3
     assert metrics["after_gates"] == 2   # german doc gated
     assert metrics["after_dedup"] == 1   # twin collapsed
+
+
+# ---- WARC ingestion ---------------------------------------------------------------
+
+
+def _http_response(body):
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+def test_warc_parse_pure():
+    """Pure-python WARC framing: response records become pages, other
+    record types are skipped, truncation yields an error row."""
+    from sift_spark.sources.warc import build_warc_bytes, parse_warc_member
+
+    records = [
+        ("warcinfo", None, "2024-01-01T00:00:00Z", b"software: test"),
+        ("request", "http://a.example/", "2024-01-01T00:00:01Z",
+         b"GET / HTTP/1.1\r\n\r\n"),
+        ("response", "http://a.example/", "2024-01-01T00:00:01Z",
+         _http_response(b"<html><body><p>alpha</p></body></html>")),
+        ("response", "http://b.example/x", "2024-01-02T10:30:00Z",
+         _http_response(b"<html><body><p>beta</p></body></html>")),
+    ]
+    for kwargs in ({}, {"compress": True}, {"per_record_gzip": True}):
+        pages = parse_warc_member(build_warc_bytes(records, **kwargs))
+        assert [p["url"] for p in pages] == [
+            "http://a.example/", "http://b.example/x"]
+        assert all(p["error"] is None for p in pages)
+        assert b"alpha" in pages[0]["html"]
+        assert b"HTTP/1.1" not in pages[0]["html"]  # headers stripped
+
+    truncated = build_warc_bytes(records)[:-40]
+    pages = parse_warc_member(truncated, "f.warc")
+    assert pages[-1]["error"] is not None
+    assert pages[0]["url"] == "http://a.example/"  # prefix still parsed
+
+
+def test_read_warc_to_extraction(spark, tmp_path):
+    """End-to-end: WARC segment files on disk -> read_warc -> the
+    extraction UDF, one task per file, timestamps parsed."""
+    from sift_spark.core.pipeline import SiftParams
+    from sift_spark.operators.extract import extract_pages
+    from sift_spark.sources.warc import build_warc_bytes, read_warc
+
+    warc_dir = tmp_path / "warcs"
+    warc_dir.mkdir()
+    for i in range(3):
+        records = [
+            ("response", f"http://site{i}.example/page", 
+             f"2024-03-0{i + 1}T12:00:00Z",
+             _http_response(
+                 (f"<html><body><h1>Title {i}</h1><p>Body text {i} with "
+                  f"several words.</p></body></html>").encode())),
+            ("metadata", f"http://site{i}.example/page",
+             f"2024-03-0{i + 1}T12:00:00Z", b"fetch: ok"),
+        ]
+        (warc_dir / f"seg-{i}.warc.gz").write_bytes(
+            build_warc_bytes(records, per_record_gzip=True))
+
+    pages = read_warc(spark, str(warc_dir))
+    rows = pages.collect()
+    assert len(rows) == 3
+    assert all(r["error"] is None for r in rows)
+    assert {r["warc_ts"].day for r in rows} == {1, 2, 3}
+
+    extracted = extract_pages(
+        pages.select("url", "html"), SiftParams()).collect()
+    by_url = {r["url"]: r["text"] for r in extracted}
+    assert "Body text 1" in by_url["http://site1.example/page"]
