@@ -635,12 +635,16 @@ def _q_embedding_neardup_exact(spark, sf_dir):
 
 
 def _q_quality_profile(spark, sf_dir):
-    from sift_spark.operators.textstats import quality_cols
+    """Quality features + the md5 document fingerprint in one query
+    (fingerprint folded in round 4 to free a gate slot for
+    line_dedup; both remain oracle-exact)."""
+    from sift_spark.operators.textstats import fingerprint_col, quality_cols
 
     cols = quality_cols(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         *[expr.alias(name) for name, expr in cols.items()],
+        fingerprint_col(F.col("text")).alias("fingerprint"),
     )
 
 
@@ -873,11 +877,38 @@ def _q_pack_sequences(spark, sf_dir):
     )
 
 
-def _q_fingerprint(spark, sf_dir):
-    from sift_spark.operators.textstats import fingerprint_col
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-level line dedup (dedup.line_frequency_dedup):
+    the flat synthetic texts are first re-lined deterministically
+    (8 words per line, identically in the oracle SQL), then every line
+    occurring in >= 2 distinct documents is dropped -- exact-duplicate
+    documents lose all their lines, coincidental shared lines go too --
+    and the survivors reassemble in order. Gate row carries
+    md5(text_clean) plus the per-doc line/drop counts."""
+    from sift_spark.operators.dedup import line_frequency_dedup
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    docs = _docs(spark, sf_dir)
+    words = F.filter(
+        F.split(F.col("text"), r"[ \t\r\n\f]+"), lambda w: w != ""
+    )
+    n_lines = F.greatest(
+        F.floor((F.size(words) - 1) / F.lit(8)).cast("long"), F.lit(0)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_lines),
+        lambda i: F.array_join(
+            F.slice(words, (i * 8 + 1).cast("int"), 8), " "
+        ),
+    )
+    multi = docs.select(
+        "doc_id", F.array_join(lines, "\n").alias("text")
+    )
+    out = line_frequency_dedup(multi, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+        "n_lines",
+        "n_dropped",
     )
 
 
@@ -1057,7 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": _q_repetition_profile,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
-        "fingerprint": _q_fingerprint,
+        "line_dedup": _q_line_dedup,
         "winnowing_md5": _q_winnowing_md5,
         # production xxhash64 twins folded into one rows-only row
         # (each has a hash-green md5 oracle twin above)
@@ -1355,6 +1386,61 @@ _PACKING_SQL = r"""
 """
 
 
+_LINE_DEDUP_SQL = r"""
+    WITH ws AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                           w -> w <> '') AS words
+        FROM documents
+    ),
+    multi AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   generate_series(0, greatest(CAST(floor(
+                       (len(words) - 1) / 8.0) AS BIGINT), 0)),
+                   i -> array_to_string(words[i*8+1:i*8+8], ' ')),
+                   chr(10)) AS text
+        FROM ws
+    ),
+    lines AS (
+        SELECT doc_id, i - 1 AS pos, arr[i] AS line
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(text, chr(10)) AS arr
+                FROM multi
+            )
+        )
+    ),
+    norm AS (
+        SELECT doc_id, pos, line,
+               trim(regexp_replace(lower(line), '[ \t\r\n\f]+', ' ',
+                    'g')) AS nrm
+        FROM lines
+    ),
+    freq AS (
+        SELECT md5(nrm) AS lhash,
+               count(DISTINCT doc_id) AS n_docs_line
+        FROM norm WHERE length(nrm) >= 1
+        GROUP BY 1
+    ),
+    marked AS (
+        SELECT n.doc_id, n.pos, n.line,
+               CASE WHEN f.n_docs_line IS NULL OR f.n_docs_line < 2
+                    THEN 1 ELSE 0 END AS keep
+        FROM norm n LEFT JOIN freq f ON f.lhash = md5(n.nrm)
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE keep = 1), '')) AS clean_md5,
+           count(*) AS n_lines,
+           CAST(sum(1 - keep) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id
+"""
+
+
 _DECONTAM_SQL = r"""
     WITH words AS (
         SELECT doc_id,
@@ -1412,7 +1498,9 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(text, '[^0-9]', '', 'g'))
                            AS n_digit,
                        length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                           AS n_upper
+                           AS n_upper,
+                       md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS fingerprint
                 FROM documents
             ),
             feat2 AS (
@@ -1428,7 +1516,8 @@ def oracle_sql() -> dict[str, str]:
                            len(list_filter(lwords, w -> w IN
                                ('the','and','of','to','is','that','with')
                            ))::DOUBLE / len(lwords)
-                       ELSE 0.0 END AS stop_ratio_raw
+                       ELSE 0.0 END AS stop_ratio_raw,
+                       fingerprint
                 FROM feat
             )
             SELECT doc_id, n_chars, n_words,
@@ -1441,7 +1530,8 @@ def oracle_sql() -> dict[str, str]:
                         + (1.0 - least(n_punct / safe_chars * 10.0, 1.0))
                         + (1.0 - least(n_digit / safe_chars * 5.0, 1.0))
                         + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
-                       AS quality_score
+                       AS quality_score,
+                   fingerprint
             FROM feat2
         """
     return {
@@ -2075,10 +2165,7 @@ def oracle_sql() -> dict[str, str]:
             "f.n_tokens_fallback FROM documents "
             f"JOIN ({_fallback_token_oracle()}) f USING (doc_id)"
         ),
-        "fingerprint": (
-            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', "
-            "'g'))) AS fingerprint FROM documents"
-        ),
+        "line_dedup": _LINE_DEDUP_SQL,
         "combine_sources": """
             SELECT source, string_agg(text, chr(10) || chr(10)
                        ORDER BY doc_id) AS text

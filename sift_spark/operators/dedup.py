@@ -763,3 +763,60 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
     return simhash_pairs_from_hashes(
         hashed, max_hamming, id_col, max_bucket_size, observation
     )
+
+
+# ---- corpus-level line dedup (CCNet-style) -----------------------------------------
+
+
+def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
+                         text_col="text", min_line_chars=1):
+    """CCNet-style corpus-level boilerplate removal (Wenzek et al.,
+    LREC'20 §3.1): drop every LINE whose normalized hash occurs in >=
+    `min_docs` distinct documents across the corpus (navigation bars,
+    cookie banners, footers repeat across a site's pages; prose does
+    not), then reassemble the remaining lines in document order.
+
+    Plan: posexplode lines (narrow) -> line-hash frequency agg + equi
+    join (one shuffle family on the 16-byte hash) -> one groupBy(doc)
+    with array_sort(collect_list(struct(pos, line))) for order-stable
+    reassembly. Lines shorter than `min_line_chars` after normalization
+    never count toward frequencies and are never dropped (empty lines
+    are structure, not boilerplate).
+
+    Returns (id, text_clean, n_lines, n_dropped)."""
+    lines = docs_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = normalized_text_col(F.col("line"))
+    hashed = lines.withColumn("_norm_len", F.length(norm)).withColumn(
+        "lhash", F.md5(norm)
+    )
+    freq = (
+        hashed.filter(F.col("_norm_len") >= min_line_chars)
+        .groupBy("lhash")
+        .agg(F.count_distinct(F.col(id_col)).alias("_n_docs_line"))
+    )
+    joined = hashed.join(freq, "lhash", "left")
+    keep = F.col("_n_docs_line").isNull() | (
+        F.col("_n_docs_line") < min_docs
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(keep, 0).otherwise(1)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_lines", "n_dropped")
+    )

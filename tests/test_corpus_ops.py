@@ -1220,3 +1220,33 @@ def test_read_warc_to_extraction(spark, tmp_path):
         pages.select("url", "html"), SiftParams()).collect()
     by_url = {r["url"]: r["text"] for r in extracted}
     assert "Body text 1" in by_url["http://site1.example/page"]
+
+
+def test_line_frequency_dedup(spark):
+    """CCNet-style boilerplate line removal: a footer repeated across
+    docs is dropped, unique prose and empty lines survive, order is
+    preserved on reassembly."""
+    from sift_spark.operators.dedup import line_frequency_dedup
+
+    footer = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [(1, f"unique first line\n\n{footer}\nunique last line"),
+         (2, f"different prose here\n{footer}"),
+         (3, f"more original words\n{footer.upper()}"),  # case-normalized
+         (4, "entirely boilerplate free document")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           line_frequency_dedup(docs, min_docs=3).collect()}
+    # footer appears (normalized) in 3 docs -> dropped everywhere
+    assert out[1]["text_clean"] == \
+        "unique first line\n\nunique last line"
+    assert out[1]["n_lines"] == 4 and out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "different prose here"
+    assert out[3]["text_clean"] == "more original words"
+    assert out[4]["n_dropped"] == 0
+    assert out[4]["text_clean"] == "entirely boilerplate free document"
+
+    # below the threshold nothing is dropped
+    loose = {r["doc_id"]: r["n_dropped"] for r in
+             line_frequency_dedup(docs, min_docs=4).collect()}
+    assert all(v == 0 for v in loose.values())
