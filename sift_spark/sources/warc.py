@@ -139,14 +139,20 @@ def parse_warc_member(data, warc_file=""):
     return pages
 
 
-def read_warc(spark, path):
-    """WARC files at `path` (glob ok; .warc or .warc.gz) -> DataFrame
-    (url, warc_ts, html, warc_file, error): the pages-table shape plus
-    provenance. One task per file (see module docstring); timestamps
-    parse from WARC-Date ISO form natively after the UDF."""
+def read_warc(spark, path_or_df):
+    """WARC files at a path (glob ok; .warc or .warc.gz) -- or an
+    already-loaded binaryFile DataFrame, batch OR streaming (the
+    streaming ingest in streaming/incremental.py passes a readStream
+    frame) -> DataFrame (url, warc_ts, html, warc_file, error): the
+    pages-table shape plus provenance. One task per file (see module
+    docstring); timestamps parse from WARC-Date ISO form natively after
+    the UDF."""
     import pandas as pd
 
-    raw = spark.read.format("binaryFile").load(path)
+    if isinstance(path_or_df, str):
+        raw = spark.read.format("binaryFile").load(path_or_df)
+    else:
+        raw = path_or_df
 
     def parse_files(iterator):
         for pdf in iterator:

@@ -128,6 +128,39 @@ def stream_curation(spark, input_path, output_path, checkpoint_path,
     )
 
 
+def stream_warc_extract(spark, input_path, output_path, checkpoint_path,
+                        params=None):
+    """Continuous crawl ingestion: WARC segment files landing at
+    `input_path` stream through the stdlib WARC parser into the
+    extraction UDF. One task per segment file (binaryFile rows are
+    never split -- sources/warc.py rationale), stateless end to end, so
+    exactly-once comes from the file-source offset log + sink manifest;
+    a new crawl drop is picked up on the next trigger with no state to
+    rebuild."""
+    from ..operators.extract import extract_pages
+    from ..sources.warc import read_warc
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .load(input_path)
+    )
+    pages = read_warc(spark, raw)
+    extracted = extract_pages(
+        pages.filter(F.col("error").isNull()).select("url", "html"),
+        params or SiftParams(),
+    )
+    return (
+        extracted.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_pii_scrub(spark, input_path, output_path, checkpoint_path,
                      file_format="parquet"):
     """Streaming PII scrub over a continuous document feed: profile

@@ -259,3 +259,35 @@ def test_stream_pii_scrub(spark, tmp_path):
     assert out[3]["text"] == "nothing sensitive in here"
     assert all(out[3][c] == 0 for c in
                ("n_email", "n_ipv4", "n_ssn", "n_card", "n_phone"))
+
+
+def test_stream_warc_extract(spark, tmp_path):
+    """Continuous crawl ingestion: .warc.gz segment files -> stdlib WARC
+    parse -> extraction UDF -> parquet sink, via the streaming
+    binaryFile source (stateless; exactly-once from offsets+manifest)."""
+    from sift_spark.sources.warc import build_warc_bytes
+    from sift_spark.streaming.incremental import stream_warc_extract
+
+    input_dir = tmp_path / "warc_in"
+    input_dir.mkdir()
+    for i in range(2):
+        records = [
+            ("response", f"http://s{i}.example/", "2024-05-01T00:00:00Z",
+             (b"HTTP/1.1 200 OK\r\n\r\n<html><body><h1>Doc</h1>"
+              b"<p>streaming warc body %d with words.</p></body></html>"
+              % i)),
+        ]
+        (input_dir / f"seg{i}.warc.gz").write_bytes(
+            build_warc_bytes(records, per_record_gzip=True))
+
+    q = stream_warc_extract(spark, str(input_dir),
+                            str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    q.stop()
+
+    out = {r["url"]: r for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert set(out) == {"http://s0.example/", "http://s1.example/"}
+    assert all(r["error"] is None for r in out.values())
+    assert "streaming warc body 0" in out["http://s0.example/"]["text"]
