@@ -464,16 +464,27 @@ class _IsNode:
 def _has_matches(node, alternatives):
     """node:has(alt, ...) -- true when some element matches one of the
     relative chains anchored at `node`. Implemented by prefixing each
-    chain with an identity anchor and running the standard chain match
-    over the whole document: O(doc) per test, correctness-tier (the
-    extraction UDF caches compiled selectors; pages are small)."""
-    root = node
-    while root.parent is not None:
-        root = root.parent
+    chain with an identity anchor and running the standard chain match.
+
+    Candidate scope: for descendant/child anchors (':has(S)',
+    ':has(> S)') every link of the chain must sit BELOW `node`, so the
+    walk starts at `node` -- O(subtree) per test. Sibling anchors
+    (':has(~ S)', ':has(+ S)') can match anywhere under a following
+    sibling, so they walk the document root (rare form; pages are
+    small and the extraction UDF caches compiled selectors)."""
+    doc_root = None
     for anchor_comb, chain in alternatives:
+        if anchor_comb in (" ", ">"):
+            walk_root = node
+        else:
+            if doc_root is None:
+                doc_root = node
+                while doc_root.parent is not None:
+                    doc_root = doc_root.parent
+            walk_root = doc_root
         full = ([(" ", _IsNode(node)), (anchor_comb, chain[0][1])]
                 + chain[1:])
-        for candidate, ancestors in _walk(root):
+        for candidate, ancestors in _walk(walk_root):
             if candidate is node:
                 continue
             if _chain_matches(full, candidate, ancestors):
