@@ -59,18 +59,25 @@ def iter_warc_records(stream):
                 f"expected WARC version line, got {version[:40]!r}"
             )
         headers = {}
+        last_name = None
         while True:
             line = stream.readline()
             if not line:
                 raise ValueError("EOF inside WARC header block")
             if line in (b"\r\n", b"\n"):
                 break
+            if line[:1] in (b" ", b"\t") and last_name is not None:
+                # RFC-2822-style folded continuation (legal per the
+                # ISO 28500 header grammar)
+                headers[last_name] += (
+                    " " + line.decode("utf-8", "replace").strip()
+                )
+                continue
             if b":" not in line:
                 raise ValueError(f"malformed WARC header {line[:40]!r}")
             name, _, value = line.partition(b":")
-            headers[name.decode("ascii", "replace").strip().lower()] = (
-                value.decode("utf-8", "replace").strip()
-            )
+            last_name = name.decode("ascii", "replace").strip().lower()
+            headers[last_name] = value.decode("utf-8", "replace").strip()
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -85,16 +92,22 @@ def iter_warc_records(stream):
 
 def split_http_response(payload):
     """HTTP response payload -> (status_line, body bytes). The body
-    starts after the first blank line; a payload without one is
+    starts after the EARLIEST blank line in either convention -- bare-LF
+    headers with a CRLF-CRLF later in the body must split at the LF-LF
+    boundary, not inside the body. A payload without a blank line is
     returned whole (some archives store raw bodies)."""
-    for sep in (b"\r\n\r\n", b"\n\n"):
-        idx = payload.find(sep)
-        if idx >= 0:
-            status = payload[: payload.find(b"\n")].rstrip(b"\r").decode(
-                "ascii", "replace"
-            )
-            return status, payload[idx + len(sep):]
-    return "", payload
+    found = [
+        (idx, sep)
+        for sep in (b"\r\n\r\n", b"\n\n")
+        if (idx := payload.find(sep)) >= 0
+    ]
+    if not found:
+        return "", payload
+    idx, sep = min(found)
+    status = payload[: payload.find(b"\n")].rstrip(b"\r").decode(
+        "ascii", "replace"
+    )
+    return status, payload[idx + len(sep):]
 
 
 def parse_warc_member(data, warc_file=""):
@@ -177,9 +190,16 @@ def read_warc(spark, path_or_df):
     parsed = raw.select("path", "content").mapInPandas(
         parse_files, parsed_schema
     )
+    # try_to_timestamp (not to_timestamp): ANSI mode is on by default in
+    # Spark 4, and one nonconforming WARC-Date must become a null, not a
+    # job abort. Second pattern covers WARC 1.1 fractional seconds.
+    ts = F.col("warc_ts")
     return parsed.withColumn(
         "warc_ts",
-        F.to_timestamp(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ssX"),
+        F.coalesce(
+            F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
+            F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")),
+        ),
     )
 
 

@@ -112,3 +112,32 @@ def test_token_mode_warns_about_fallback(html_file):
     # word mode must NOT warn
     proc_w = run_cli([html_file, "-w", "50", "-q"])
     assert "fallback tokenizer" not in proc_w.stderr
+
+
+def test_dist_zip_matches_source():
+    """The spark-submit artifact must never drift from source (the
+    round-4 third review caught a stale css.py in the zip): every
+    tracked sift_spark/*.py must be present byte-identical. Rebuild
+    with `sh scripts/package.sh` after any module change."""
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(repo, "dist", "sift_spark.zip")
+    assert os.path.exists(zip_path), "run sh scripts/package.sh"
+    with zipfile.ZipFile(zip_path) as zf:
+        zipped = set(zf.namelist())
+        for root, _dirs, files in os.walk(os.path.join(repo, "sift_spark")):
+            if "__pycache__" in root:
+                continue
+            for name in files:
+                if not name.endswith(".py"):
+                    continue
+                path = os.path.join(root, name)
+                rel = os.path.relpath(path, repo)
+                assert rel in zipped, f"{rel} missing from dist zip"
+                with open(path, "rb") as fh:
+                    assert zf.read(rel) == fh.read(), (
+                        f"{rel} is stale in dist zip -- "
+                        "run sh scripts/package.sh"
+                    )

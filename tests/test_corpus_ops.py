@@ -1250,3 +1250,49 @@ def test_line_frequency_dedup(spark):
     loose = {r["doc_id"]: r["n_dropped"] for r in
              line_frequency_dedup(docs, min_docs=4).collect()}
     assert all(v == 0 for v in loose.values())
+
+
+def test_warc_review_edge_cases(spark, tmp_path):
+    """Third-review regressions: folded headers parse, LF-delimited
+    HTTP headers split at the earliest blank line, and a fractional or
+    malformed WARC-Date becomes a null timestamp, never a job abort
+    (ANSI mode is on by default in Spark 4)."""
+    from sift_spark.sources.warc import (
+        parse_warc_member,
+        read_warc,
+        split_http_response,
+    )
+
+    # folded header continuation (ISO 28500 / RFC 2822 folding)
+    raw = (b"WARC/1.0\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: http://folded.example/a\r\n"
+           b" continued-part\r\n"
+           b"WARC-Date: 2024-05-01T00:00:00Z\r\n"
+           b"Content-Length: 23\r\n"
+           b"\r\n"
+           b"HTTP/1.1 200 OK\r\n\r\nbody\r\n\r\n")
+    pages = parse_warc_member(raw)
+    assert pages[0]["url"] == "http://folded.example/a continued-part"
+    assert pages[0]["html"] == b"body"
+
+    # bare-LF headers with a CRLF-CRLF later in the body
+    payload = (b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+               b"<html><p>early</p>\r\n\r\n<p>late</p></html>")
+    _status, body = split_http_response(payload)
+    assert body.startswith(b"<html><p>early</p>")
+
+    # fractional-second and garbage dates -> timestamp / null, no abort
+    from sift_spark.sources.warc import build_warc_bytes
+
+    records = [
+        ("response", "http://f.example/", "2024-05-01T00:00:00.123Z",
+         b"HTTP/1.1 200 OK\r\n\r\n<p>f</p>"),
+        ("response", "http://g.example/", "not-a-date",
+         b"HTTP/1.1 200 OK\r\n\r\n<p>g</p>"),
+    ]
+    p = tmp_path / "edge.warc"
+    p.write_bytes(build_warc_bytes(records))
+    rows = {r["url"]: r for r in read_warc(spark, str(p)).collect()}
+    assert rows["http://f.example/"]["warc_ts"].microsecond == 123000
+    assert rows["http://g.example/"]["warc_ts"] is None
