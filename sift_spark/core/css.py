@@ -122,7 +122,10 @@ class _Simple:
         self.pseudo_tests = pseudo_tests  # (name, (a, b) | None)
 
     def matches(self, node):
-        if node.tag is None or node.tag == "root":
+        # the synthetic parse root is identified by IDENTITY (the only
+        # parentless node htmlparser.parse builds), never by tag name --
+        # a literal <root> element in page HTML is an ordinary element
+        if node.tag is None or node.parent is None:
             return False
         if self.tag and self.tag != "*" and node.tag != self.tag:
             return False
@@ -161,11 +164,11 @@ class _Simple:
                     return False
                 continue
             if name == "root":
-                # the document's top element (parent is the synthetic
-                # parse root)
-                if node.parent is not None and node.parent.tag not in (
-                    None, "root"
-                ):
+                # the document's top element: its parent is the
+                # synthetic parse root, identified by identity (the
+                # parentless node) so children of a literal <root>
+                # element never spoof :root
+                if node.parent is not None and node.parent.parent is not None:
                     return False
                 continue
             if name == "has":
@@ -415,11 +418,13 @@ def _match_prefix(chain, idx, node):
         return False
     parent = node.parent
     if combinator_to_right == ">":
-        if parent is None or parent.tag in (None, "root"):
+        # the synthetic parse root (parentless by identity) is a tree
+        # boundary, not a matchable parent; a literal <root> element is
+        if parent is None or parent.tag is None or parent.parent is None:
             return False
         return simple.matches(parent) and _match_prefix(chain, idx - 1, parent)
-    # descendant: try every ancestor
-    while parent is not None and parent.tag != "root":
+    # descendant: try every ancestor up to (excluding) the parse root
+    while parent is not None and parent.parent is not None:
         if simple.matches(parent) and _match_prefix(chain, idx - 1, parent):
             return True
         parent = parent.parent

@@ -604,9 +604,18 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
             .localCheckpoint()
         )
         new_sig = _signature(small)
-        edges = small
-        if new_sig == sig:
+        if new_sig == sig and small.exceptAll(edges).isEmpty():
+            # the (count, bit_xor) signature is probabilistic; a
+            # collision between distinct successive edge sets would end
+            # iteration early with wrong labels, so a signature match is
+            # CONFIRMED with one exact set-difference check. Counts are
+            # equal (count is part of the signature), so the one-sided
+            # exceptAll proves set equality; the extra action runs only
+            # on the terminal round (and on the ~2^-64 collision rounds,
+            # where it correctly keeps iterating).
+            edges = small
             break
+        edges = small
         sig = new_sig
     else:
         raise RuntimeError(
@@ -783,7 +792,17 @@ def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
     never count toward frequencies and are never dropped (empty lines
     are structure, not boilerplate).
 
+    Null-text documents pass through with text_clean=null and zero
+    counts (sibling operators preserve row counts; dropping them
+    silently was ADVICE r4).
+
     Returns (id, text_clean, n_lines, n_dropped)."""
+    null_rows = docs_df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("text_clean"),
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
     lines = docs_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -801,7 +820,7 @@ def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
     keep = F.col("_n_docs_line").isNull() | (
         F.col("_n_docs_line") < min_docs
     )
-    return (
+    deduped = (
         joined.groupBy(id_col)
         .agg(
             F.count("*").alias("n_lines"),
@@ -820,3 +839,4 @@ def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
         )
         .select(id_col, "text_clean", "n_lines", "n_dropped")
     )
+    return deduped.unionByName(null_rows)

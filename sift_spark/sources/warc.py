@@ -192,13 +192,18 @@ def read_warc(spark, path_or_df):
     )
     # try_to_timestamp (not to_timestamp): ANSI mode is on by default in
     # Spark 4, and one nonconforming WARC-Date must become a null, not a
-    # job abort. Second pattern covers WARC 1.1 fractional seconds.
+    # job abort. Second pattern covers the common millisecond form of
+    # WARC 1.1 fractional seconds exactly; WARC 1.1 allows 1-9 fraction
+    # digits, so the third branch strips any other fraction width and
+    # parses at second precision rather than returning null.
     ts = F.col("warc_ts")
+    ts_nofrac = F.regexp_replace(ts, r"\.\d{1,9}", "")
     return parsed.withColumn(
         "warc_ts",
         F.coalesce(
             F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
             F.try_to_timestamp(ts, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSX")),
+            F.try_to_timestamp(ts_nofrac, F.lit("yyyy-MM-dd'T'HH:mm:ssX")),
         ),
     )
 

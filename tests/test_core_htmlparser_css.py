@@ -420,6 +420,27 @@ def test_root_matches_document_element():
     assert [n.tag for n in css.select(frag, ":root")] == ["div"]
 
 
+def test_literal_root_element_is_ordinary():
+    """ADVICE r4: the synthetic parse root is identified by identity
+    (the parentless node), not by its 'root' tag name -- so a literal
+    <root> element in page HTML is an ordinary element: its children do
+    NOT match :root, it can be selected, and it participates in child /
+    descendant combinators."""
+    doc = parse("<root><p>inside literal root</p></root><div>x</div>")
+    # children of the literal <root> must not spoof :root; the literal
+    # <root> and <div> ARE the document's top elements
+    assert [n.tag for n in css.select(doc, ":root")] == ["root", "div"]
+    assert css.select(doc, "p:root") == []
+    # the literal element is selectable by tag and as a combinator parent
+    assert [n.tag for n in css.select(doc, "root")] == ["root"]
+    assert [n.inner_text() for n in css.select(doc, "root > p")] == [
+        "inside literal root"
+    ]
+    assert len(css.select(doc, "root p")) == 1
+    # and matches universal selection like any element
+    assert "root" in [n.tag for n in css.select(doc, "*")]
+
+
 def test_attr_case_insensitive_flag():
     doc = parse('<a href="HTTPS://Example.COM/Path">x</a>'
                 '<a href="https://example.com/path">y</a>'

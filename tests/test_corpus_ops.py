@@ -1296,3 +1296,44 @@ def test_warc_review_edge_cases(spark, tmp_path):
     rows = {r["url"]: r for r in read_warc(spark, str(p)).collect()}
     assert rows["http://f.example/"]["warc_ts"].microsecond == 123000
     assert rows["http://g.example/"]["warc_ts"] is None
+
+
+def test_warc_date_variable_fraction_digits(spark, tmp_path):
+    """ADVICE r4: WARC 1.1 allows 1-9 fractional-second digits; widths
+    other than 3 parse at second precision instead of becoming null."""
+    from sift_spark.sources.warc import build_warc_bytes, read_warc
+
+    records = [
+        ("response", "http://d1.example/", "2024-05-01T01:02:03.5Z",
+         b"HTTP/1.1 200 OK\r\n\r\n<p>1</p>"),
+        ("response", "http://d6.example/", "2024-05-01T01:02:03.123456Z",
+         b"HTTP/1.1 200 OK\r\n\r\n<p>6</p>"),
+        ("response", "http://d9.example/", "2024-05-01T01:02:03.123456789Z",
+         b"HTTP/1.1 200 OK\r\n\r\n<p>9</p>"),
+    ]
+    p = tmp_path / "frac.warc"
+    p.write_bytes(build_warc_bytes(records))
+    rows = {r["url"]: r["warc_ts"]
+            for r in read_warc(spark, str(p)).collect()}
+    for url, ts in rows.items():
+        assert ts is not None, url
+        assert (ts.year, ts.hour, ts.minute, ts.second) == (2024, 1, 2, 3)
+
+
+def test_line_frequency_dedup_null_text_passthrough(spark):
+    """ADVICE r4: null-text documents pass through with text_clean=null
+    and zero counts instead of silently vanishing from the output."""
+    from sift_spark.operators.dedup import line_frequency_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "shared line\nown words one"),
+         (2, "shared line\nown words two"),
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_frequency_dedup(docs, min_docs=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["text_clean"] is None
+    assert out[3]["n_lines"] == 0 and out[3]["n_dropped"] == 0
+    assert out[1]["text_clean"] == "own words one"
+    assert out[1]["n_dropped"] == 1
