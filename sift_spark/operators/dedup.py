@@ -461,8 +461,21 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
 
 
+def _iteration_checkpointer(df, checkpoint_dir):
+    """Per-iteration lineage cut for fixpoint loops. Default:
+    localCheckpoint() -- executor-local blocks, fast, but lost on
+    executor failure (at 100x a lost executor mid-iteration kills the
+    job with no lineage to recompute from). With `checkpoint_dir`:
+    reliable checkpoint() against that directory, the production form
+    on a real cluster (point it at HDFS/S3)."""
+    if checkpoint_dir:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda frame: frame.checkpoint(eager=True)
+    return lambda frame: frame.localCheckpoint()
+
+
 def connected_components(pairs_df, id_a="id_a", id_b="id_b",
-                         max_iterations=50):
+                         max_iterations=50, checkpoint_dir=None):
     """Near-dup pairs -> duplicate CLUSTERS: (doc_id, component_id) where
     component_id is the min doc id in the weakly-connected component.
     Downstream keeps component_id as the canonical document and drops the
@@ -483,13 +496,14 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
     pairs = pairs_df.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
+    ckpt = _iteration_checkpointer(pairs_df, checkpoint_dir)
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     try:
-        labels = edges.select(
+        labels = ckpt(edges.select(
             F.col("src").alias("node")
-        ).distinct().withColumn("comp", F.col("node")).localCheckpoint()
+        ).distinct().withColumn("comp", F.col("node")))
 
         for _ in range(max_iterations):
             neighbor_min = (
@@ -497,13 +511,13 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
                 .groupBy("dst")
                 .agg(F.min("comp").alias("nmin"))
             )
-            updated = (
+            updated = ckpt(
                 labels.join(neighbor_min, labels.node == neighbor_min.dst)
                 .select(
                     "node", "comp",
                     F.least("comp", "nmin").alias("new_comp"),
                 )
-            ).localCheckpoint()
+            )
             changed = updated.filter(
                 F.col("new_comp") != F.col("comp")
             ).count()
@@ -517,7 +531,8 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
             # O(log^2 n)-round alternating star algorithm instead of
             # giving up (Kiveris et al., SoCC'14)
             return connected_components_star(pairs_df, id_a=id_a,
-                                             id_b=id_b)
+                                             id_b=id_b,
+                                             checkpoint_dir=checkpoint_dir)
     finally:
         edges.unpersist()
     return labels.select(
@@ -526,7 +541,7 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
 
 
 def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
-                              max_iterations=50):
+                              max_iterations=50, checkpoint_dir=None):
     """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): converges in O(log^2 n) rounds regardless of graph
@@ -553,20 +568,24 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
     Returns (doc_id, component_id), component_id = min id in the
     component; same contract as :func:`connected_components` (every
     node appearing in >= 1 pair is emitted -- including nodes whose
-    only pair is a self-pair, which label themselves)."""
+    only pair is a self-pair, which label themselves).
+
+    checkpoint_dir: when set, per-round lineage cuts use reliable
+    checkpoint() against it instead of localCheckpoint() (see
+    _iteration_checkpointer)."""
+    ckpt = _iteration_checkpointer(pairs_df, checkpoint_dir)
     all_nodes = (
         pairs_df.select(F.col(id_a).alias("node"))
         .union(pairs_df.select(F.col(id_b).alias("node")))
         .distinct()
     )
-    edges = (
+    edges = ckpt(
         pairs_df.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
             F.least(F.col(id_a), F.col(id_b)).alias("dst"),
         )
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()
     )
 
     def _signature(df):
@@ -596,12 +615,11 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
         # small-star over the big->small orientation
         smins = large.groupBy("src").agg(F.min("dst").alias("m"))
         joined = large.join(smins, "src")
-        small = (
+        small = ckpt(
             joined.filter(F.col("dst") != F.col("m"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .union(smins.select(F.col("src"), F.col("m").alias("dst")))
             .distinct()
-            .localCheckpoint()
         )
         new_sig = _signature(small)
         if new_sig == sig and small.exceptAll(edges).isEmpty():

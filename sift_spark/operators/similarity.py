@@ -136,14 +136,26 @@ def ivf_build(emb_df, n_clusters=16, seed=42, id_col="vec_id",
 
 
 def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,
-                    seed=42, id_col="vec_id", vec_col="embedding"):
+                    seed=42, id_col="vec_id", vec_col="embedding",
+                    index=None):
     """IVF-pruned ANN: rank centroids by cosine to the query (driver-side
     math over n_clusters small vectors), scan only the nprobe nearest
     clusters, exact cosine within them. nprobe = n_clusters degenerates
-    to the exact brute-force scan (recall 1.0 by construction)."""
+    to the exact brute-force scan (recall 1.0 by construction).
+
+    index: optional prebuilt `(assigned_df, centers)` pair from
+    :func:`ivf_build` -- IVF is build-once/probe-many; refitting k-means
+    per query (the default, kept for one-shot calls and the driver
+    gate) is the classic ANN anti-pattern at any real query volume.
+    Build once (persist `assigned_df`, fit on a sample at scale per the
+    ivf_build docstring) and pass the pair to every query."""
     import math
 
-    assigned, centers = ivf_build(emb_df, n_clusters, seed, id_col, vec_col)
+    if index is not None:
+        assigned, centers = index
+    else:
+        assigned, centers = ivf_build(emb_df, n_clusters, seed, id_col,
+                                      vec_col)
     q = [float(v) for v in query_vec]
     qn = math.sqrt(sum(x * x for x in q)) or 1.0
 

@@ -519,6 +519,59 @@ def test_ivf_topk_recall_and_exact_degenerate(spark, embeddings):
     assert len(pruned & set(brute)) >= 7  # recall@10 >= 0.7 with 3/8 probes
 
 
+def test_ivf_index_reuse_single_fit(spark, embeddings, monkeypatch):
+    """IVF is build-once/probe-many: a prebuilt (assigned, centers)
+    index serves many queries with ZERO further k-means fits, and the
+    answers match the self-building form exactly."""
+    from sift_spark.operators import similarity
+    from sift_spark.operators.similarity import ivf_build, ivf_cosine_topk
+
+    q0 = list(embeddings.filter(F.col("vec_id") == 0).first()["embedding"])
+    q1 = list(embeddings.filter(F.col("vec_id") == 1).first()["embedding"])
+    fresh = [
+        [r["vec_id"] for r in ivf_cosine_topk(
+            embeddings, q, k=5, n_clusters=8, nprobe=8).collect()]
+        for q in (q0, q1)
+    ]
+
+    index = ivf_build(embeddings, n_clusters=8)
+    index[0].cache().count()
+
+    def no_build(*args, **kwargs):  # any refit is a test failure
+        raise AssertionError("ivf_build called despite prebuilt index")
+
+    monkeypatch.setattr(similarity, "ivf_build", no_build)
+    reused = [
+        [r["vec_id"] for r in ivf_cosine_topk(
+            embeddings, q, k=5, nprobe=8, index=index).collect()]
+        for q in (q0, q1)
+    ]
+    assert reused == fresh
+    index[0].unpersist()
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the per-iteration lineage cut from
+    localCheckpoint to reliable checkpoint(): same labels through both
+    code paths (label propagation AND alternating-star), and checkpoint
+    data actually lands in the directory."""
+    from sift_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], ["id_a", "id_b"])
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    for fn, sub in ((connected_components, "cc"),
+                    (connected_components_star, "star")):
+        ckpt_dir = str(tmp_path / sub)
+        got = {r["doc_id"]: r["component_id"]
+               for r in fn(pairs, checkpoint_dir=ckpt_dir).collect()}
+        assert got == want, sub
+        assert any((tmp_path / sub).rglob("*")), sub  # data written
+
+
 def test_connected_components_clusters_pairs(spark):
     """Duplicate-cluster election: chains, a triangle and a lone pair all
     collapse to min-id components; convergence takes <= diameter rounds
