@@ -110,18 +110,22 @@ def split_http_response(payload):
     return status, payload[idx + len(sep):]
 
 
-def parse_warc_member(data, warc_file=""):
-    """One WARC file's bytes (gz or plain) -> list of page dicts
+def iter_warc_pages(data, warc_file=""):
+    """One WARC file's bytes (gz or plain) -> GENERATOR of page dicts
     (url, warc_ts ISO string, html, error). Only `response` records
     produce pages; request/metadata/warcinfo records are skipped.
-    A framing error ends the file with one error row carrying the
-    pages parsed so far (the stream is unrecoverable past a broken
-    frame)."""
+    A framing error ends the file with one error row after the pages
+    already yielded (the stream is unrecoverable past a broken frame).
+
+    Streaming end to end: the gzip reader decompresses member by
+    member and each page is yielded as soon as its record is framed,
+    so peak memory is one record, not the decompressed segment --
+    callers that batch (read_warc) hold at most one output batch on
+    top of that."""
     if data[:2] == b"\x1f\x8b":
         stream = gzip.GzipFile(fileobj=io.BytesIO(data))
     else:
         stream = io.BytesIO(data)
-    pages = []
     try:
         for headers, payload in iter_warc_records(stream):
             if headers.get("warc-type") != "response":
@@ -130,38 +134,69 @@ def parse_warc_member(data, warc_file=""):
             if not url:
                 continue
             _status, body = split_http_response(payload)
-            pages.append(
-                {
-                    "url": url,
-                    "warc_ts": headers.get("warc-date"),
-                    "html": body,
-                    "warc_file": warc_file,
-                    "error": None,
-                }
-            )
-    except (ValueError, EOFError, OSError) as exc:
-        pages.append(
-            {
-                "url": None,
-                "warc_ts": None,
-                "html": None,
+            yield {
+                "url": url,
+                "warc_ts": headers.get("warc-date"),
+                "html": body,
                 "warc_file": warc_file,
-                "error": f"WARC parse error: {exc}",
+                "error": None,
             }
-        )
-    return pages
+    except (ValueError, EOFError, OSError) as exc:
+        yield {
+            "url": None,
+            "warc_ts": None,
+            "html": None,
+            "warc_file": warc_file,
+            "error": f"WARC parse error: {exc}",
+        }
 
 
-def read_warc(spark, path_or_df):
+def parse_warc_member(data, warc_file=""):
+    """Eager form of :func:`iter_warc_pages` (whole file -> list); for
+    tests and small files -- read_warc streams instead."""
+    return list(iter_warc_pages(data, warc_file))
+
+
+_PAGE_COLUMNS = ["url", "warc_ts", "html", "warc_file", "error"]
+
+
+def _page_batches(data, warc_file, batch_records, batch_bytes):
+    """Yield pandas DataFrame batches of pages from one WARC file's
+    bytes, closing a batch every `batch_records` pages or once the
+    accumulated html bytes exceed `batch_bytes` -- whichever first.
+
+    This is the per-task memory bound for crawl-scale segments: a
+    Common Crawl segment is ~1 GB gzipped / ~4 GB decompressed, and an
+    eager parse would hold every decoded page of the file at once. The
+    binaryFile row (compressed bytes) is unavoidable; the decompressed
+    copy is capped at one batch."""
+    import pandas as pd
+
+    rows, html_bytes = [], 0
+    for page in iter_warc_pages(data, warc_file):
+        rows.append(page)
+        html_bytes += len(page["html"] or b"")
+        if len(rows) >= batch_records or html_bytes >= batch_bytes:
+            yield pd.DataFrame(rows, columns=_PAGE_COLUMNS)
+            rows, html_bytes = [], 0
+    if rows:
+        yield pd.DataFrame(rows, columns=_PAGE_COLUMNS)
+
+
+def read_warc(spark, path_or_df, batch_records=1000,
+              batch_bytes=64 * 1024 * 1024):
     """WARC files at a path (glob ok; .warc or .warc.gz) -- or an
     already-loaded binaryFile DataFrame, batch OR streaming (the
     streaming ingest in streaming/incremental.py passes a readStream
     frame) -> DataFrame (url, warc_ts, html, warc_file, error): the
     pages-table shape plus provenance. One task per file (see module
     docstring); timestamps parse from WARC-Date ISO form natively after
-    the UDF."""
-    import pandas as pd
+    the UDF.
 
+    Pages stream out of each file in Arrow batches of at most
+    `batch_records` pages / `batch_bytes` of html (see _page_batches),
+    so peak per-task memory is the COMPRESSED file plus one batch --
+    not the whole decompressed segment."""
     if isinstance(path_or_df, str):
         raw = spark.read.format("binaryFile").load(path_or_df)
     else:
@@ -169,14 +204,10 @@ def read_warc(spark, path_or_df):
 
     def parse_files(iterator):
         for pdf in iterator:
-            rows = []
             for warc_file, content in zip(pdf["path"], pdf["content"]):
-                rows.extend(parse_warc_member(bytes(content), warc_file))
-            out = pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "warc_file",
-                               "error"]
-            )
-            yield out
+                yield from _page_batches(
+                    bytes(content), warc_file, batch_records, batch_bytes
+                )
 
     parsed_schema = T.StructType(
         [

@@ -1351,6 +1351,48 @@ def test_warc_review_edge_cases(spark, tmp_path):
     assert rows["http://g.example/"]["warc_ts"] is None
 
 
+def test_warc_incremental_batches(spark, tmp_path):
+    """Per-task memory bound: one WARC file streams out as MULTIPLE
+    Arrow batches (record-count and byte caps both trigger), with rows
+    identical to the eager parse, and read_warc returns the same pages
+    regardless of batch size."""
+    from sift_spark.sources.warc import (
+        _page_batches,
+        build_warc_bytes,
+        parse_warc_member,
+        read_warc,
+    )
+
+    records = [
+        ("response", f"http://b{i}.example/", "2024-06-01T00:00:00Z",
+         b"HTTP/1.1 200 OK\r\n\r\n<p>page %d body words</p>" % i)
+        for i in range(10)
+    ]
+    data = build_warc_bytes(records, per_record_gzip=True)
+
+    # record-count cap: 10 pages at 3/batch -> 4 batches
+    batches = list(_page_batches(data, "f", batch_records=3,
+                                 batch_bytes=1 << 30))
+    assert [len(b) for b in batches] == [3, 3, 3, 1]
+    # byte cap: each body is ~30 bytes, cap at 1 byte -> one page/batch
+    assert len(list(_page_batches(data, "f", 1000, batch_bytes=1))) == 10
+    # concatenation == eager parse
+    import pandas as pd
+
+    streamed = pd.concat(batches, ignore_index=True)
+    eager = pd.DataFrame(parse_warc_member(data, "f"),
+                         columns=list(streamed.columns))
+    assert streamed.equals(eager)
+
+    # e2e through Spark with a tiny batch size: same pages
+    p = tmp_path / "batched.warc.gz"
+    p.write_bytes(data)
+    out = read_warc(spark, str(p), batch_records=2).collect()
+    assert sorted(r["url"] for r in out) == sorted(
+        f"http://b{i}.example/" for i in range(10))
+    assert all(r["error"] is None for r in out)
+
+
 def test_warc_date_variable_fraction_digits(spark, tmp_path):
     """ADVICE r4: WARC 1.1 allows 1-9 fractional-second digits; widths
     other than 3 parse at second precision instead of becoming null."""
