@@ -2,7 +2,9 @@
 
 From-scratch implementation of the selector grammar the reference exercises
 through goquery/cascadia (/root/reference/internal/extract/extract.go:59-91,
-extract_test.go:125-196, 341-360): type selectors, .class, #id, [attr],
+extract_test.go:125-196, 341-360): type selectors (with Selectors 3
+namespace qualifiers ns|tag, *|tag, |tag over the parser's svg/math
+foreign-content namespaces), .class, #id, [attr],
 [attr=value], compound selectors, descendant (whitespace) / child (>) /
 adjacent-sibling (+) / general-sibling (~) combinators, the child-position
 pseudo-classes :first-child / :last-child / :nth-child(an+b|odd|even|n),
@@ -24,6 +26,7 @@ _IDENT = r"[a-zA-Z_][a-zA-Z0-9_-]*|\*"
 _ATTR_VALUE = r"""(?:\s*[~^$*|]?=\s*(?:"[^"]*"|'[^']*'|[^\]\s]*)(?:\s+[iIsS])?\s*)?"""
 _SIMPLE_RE = re.compile(
     rf"""
+    (?P<ns>(?:{_IDENT})?\|(?!\|))?    # namespace qualifier: ns| *| or bare |
     (?P<tag>{_IDENT})?
     (?P<rest>(?:
         \.[a-zA-Z_][a-zA-Z0-9_-]*      |   # class
@@ -112,10 +115,18 @@ _NTH_PSEUDOS = frozenset((
 
 
 class _Simple:
-    __slots__ = ("tag", "classes", "ids", "attr_tests", "pseudo_tests")
+    __slots__ = ("tag", "ns", "classes", "ids", "attr_tests",
+                 "pseudo_tests")
 
-    def __init__(self, tag, classes, ids, attr_tests, pseudo_tests=()):
+    def __init__(self, tag, classes, ids, attr_tests, pseudo_tests=(),
+                 ns=None):
         self.tag = tag  # None or "*" means any
+        # namespace constraint (Selectors 3, no @namespace context --
+        # matching net/html's model where HTML elements carry the empty
+        # namespace): None = no qualifier = any namespace (no default
+        # namespace is declared); "*" = explicit any (*|tag); "" =
+        # no-namespace only (|tag); "name" = that namespace (svg|tag)
+        self.ns = ns
         self.classes = classes
         self.ids = ids
         self.attr_tests = attr_tests
@@ -129,6 +140,9 @@ class _Simple:
             return False
         if self.tag and self.tag != "*" and node.tag != self.tag:
             return False
+        if self.ns is not None and self.ns != "*":
+            if getattr(node, "namespace", "") != self.ns:
+                return False
         if self.classes:
             node_classes = node.attrs.get("class", "").split()
             for cls in self.classes:
@@ -203,6 +217,12 @@ def _parse_simple(text):
     m = _SIMPLE_RE.fullmatch(text)
     if m is None or (not m.group("tag") and not m.group("rest")):
         raise SelectorError(f"invalid selector component: {text!r}")
+    ns_qualifier = m.group("ns")
+    if ns_qualifier is not None and not m.group("tag"):
+        raise SelectorError(
+            f"namespace qualifier requires an element name or *: {text!r}"
+        )
+    ns = None if ns_qualifier is None else ns_qualifier[:-1].lower()
     classes, ids, attr_tests, pseudo_tests = [], [], [], []
     for part in _PART_RE.finditer(m.group("rest") or ""):
         if part.group(1):
@@ -243,7 +263,7 @@ def _parse_simple(text):
                                value, ci))
     tag = m.group("tag")
     return _Simple(tag.lower() if tag else None, classes, ids, attr_tests,
-                   tuple(pseudo_tests))
+                   tuple(pseudo_tests), ns=ns)
 
 
 def _parse_compound_chain(selector):

@@ -40,14 +40,19 @@ _WS_RE = re.compile(r"[ \t\r\n\f]+")
 class Node:
     """A DOM node. tag is None for text nodes."""
 
-    __slots__ = ("tag", "attrs", "children", "parent", "text", "_text_cache")
+    __slots__ = ("tag", "attrs", "children", "parent", "text",
+                 "namespace", "_text_cache")
 
-    def __init__(self, tag, attrs=None, text=""):
+    def __init__(self, tag, attrs=None, text="", namespace=""):
         self.tag = tag  # lowercase tag name, or None for text
         self.attrs = attrs or {}
         self.children = []
         self.parent = None
         self.text = text  # raw text for text nodes
+        # net/html's model: HTML elements carry the EMPTY namespace;
+        # foreign content inside <svg>/<math> carries "svg"/"math"
+        # (set by parse); CSS namespace selectors (ns|tag) match on it
+        self.namespace = namespace
         self._text_cache = None
 
     def append(self, child):
@@ -122,7 +127,7 @@ class Node:
 
     def clone(self):
         """Deep copy of the subtree."""
-        copy = Node(self.tag, dict(self.attrs), self.text)
+        copy = Node(self.tag, dict(self.attrs), self.text, self.namespace)
         for child in self.children:
             copy.append(child.clone())
         return copy
@@ -198,6 +203,28 @@ def unescape(text):
 
 
 # ---- tokenizer + tree builder ---------------------------------------------------
+
+
+# HTML integration points (HTML5 tree construction): children of these
+# foreign elements re-enter the HTML (empty) namespace
+_SVG_INTEGRATION = frozenset(("foreignobject", "desc", "title"))
+
+
+def _child_namespace(parent, tag):
+    """Namespace for a new element under `parent` (net/html semantics):
+    <svg>/<math> open foreign content, descendants inherit it, and the
+    SVG HTML-integration points (foreignObject/desc/title) plus MathML's
+    annotation-xml drop back to the HTML (empty) namespace."""
+    if tag == "svg":
+        return "svg"
+    if tag == "math":
+        return "math"
+    pns = parent.namespace if parent.tag is not None else ""
+    if pns == "svg" and parent.tag in _SVG_INTEGRATION:
+        return ""
+    if pns == "math" and parent.tag == "annotation-xml":
+        return ""
+    return pns
 
 
 def parse(html):
@@ -280,7 +307,7 @@ def parse(html):
             _close_if_open(stack, "dt", stop_at=("dl",))
             _close_if_open(stack, "dd", stop_at=("dl",))
 
-        node = Node(tag, attrs)
+        node = Node(tag, attrs, namespace=_child_namespace(stack[-1], tag))
         stack[-1].append(node)
 
         if tag in RAW_TEXT_ELEMENTS and not self_closing:

@@ -420,6 +420,63 @@ def test_root_matches_document_element():
     assert [n.tag for n in css.select(frag, ":root")] == ["div"]
 
 
+NS_DOC = parse(
+    "<div><p>html para</p>"
+    "<svg><title>chart</title><circle r='1'></circle>"
+    "<foreignObject><p>embedded html</p></foreignObject></svg>"
+    "<math><mi>x</mi><annotation-xml><p>annot html</p></annotation-xml>"
+    "</math></div>"
+)
+
+
+def test_parser_tracks_foreign_namespaces():
+    """svg/math subtrees carry their namespace; HTML integration points
+    (foreignObject, svg title, annotation-xml) re-enter the HTML (empty)
+    namespace for their children."""
+    ns = {}
+    for node in NS_DOC.iter_elements():
+        ns.setdefault((node.tag, node.inner_text()), node.namespace)
+    assert ns[("p", "html para")] == ""
+    assert ns[("circle", "")] == "svg"
+    assert ns[("title", "chart")] == "svg"
+    assert ns[("p", "embedded html")] == ""
+    assert ns[("mi", "x")] == "math"
+    assert ns[("p", "annot html")] == ""
+    # clone preserves the namespace
+    assert NS_DOC.clone().children[0].children[1].namespace == "svg"
+
+
+def test_namespace_selectors():
+    """Selectors 3 namespace qualifiers: bare tag = any namespace (no
+    default @namespace declared), *|tag = any, |tag = no-namespace
+    only, ns|tag = exactly that namespace; ns|* and *|* work too."""
+
+    def texts(sel):
+        return [n.inner_text() for n in css.select(NS_DOC, sel)]
+
+    assert texts("p") == ["html para", "embedded html", "annot html"]
+    assert texts("*|p") == texts("p")
+    assert texts("|p") == texts("p")  # all three <p> are HTML
+    assert texts("svg|circle") == [""]
+    assert texts("svg|title") == ["chart"]
+    assert texts("|circle") == []
+    assert texts("math|mi") == ["x"]
+    assert texts("svg|p") == []
+    assert [n.tag for n in css.select(NS_DOC, "svg|*")] == [
+        "svg", "title", "circle", "foreignobject"
+    ]
+    # qualifiers compose with classes/attrs/combinators
+    assert texts("svg|circle[r='1']") == [""]
+    assert texts("div > svg|circle") == []  # circle is a grandchild
+    assert texts("svg > svg|circle") == [""]
+
+
+def test_namespace_selector_errors():
+    for bad in ("svg|", "|", "a||b", "svg|.cls"):
+        with pytest.raises(css.SelectorError):
+            css.compile_selector(bad)
+
+
 def test_literal_root_element_is_ordinary():
     """ADVICE r4: the synthetic parse root is identified by identity
     (the parentless node), not by its 'root' tag name -- so a literal

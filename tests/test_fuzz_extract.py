@@ -12,6 +12,7 @@ PARAMS = [
     SiftParams(counting_method=WORDS, max_units=20),
     SiftParams(counting_method=WORDS, max_units=0, search_query="data"),
     SiftParams(selector="p"),
+    SiftParams(selector="*|p, svg|title"),
     SiftParams(include_all=True, max_units=15, counting_method=WORDS),
 ]
 
