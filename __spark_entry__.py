@@ -878,13 +878,19 @@ def _q_pack_sequences(spark, sf_dir):
 
 
 def _q_line_dedup(spark, sf_dir):
-    """CCNet-style corpus-level line dedup (dedup.line_frequency_dedup):
-    the flat synthetic texts are first re-lined deterministically
-    (8 words per line, identically in the oracle SQL), then every line
-    occurring in >= 2 distinct documents is dropped -- exact-duplicate
-    documents lose all their lines, coincidental shared lines go too --
-    and the survivors reassemble in order. Gate row carries
-    md5(text_clean) plus the per-doc line/drop counts."""
+    """CCNet-style corpus-level dedup (dedup.line_frequency_dedup) at
+    BOTH granularities the operator supports, folded into one gate row
+    (mode column, UNION ALL oracle -- the ngram_jaccard pattern):
+
+    * mode 'line': the flat synthetic texts are re-lined
+      deterministically (8 words per line, identically in the oracle
+      SQL), then every line occurring in >= 2 distinct documents is
+      dropped and the survivors reassemble in order.
+    * mode 'para': the same lines are grouped two per paragraph
+      (internal '\\n', paragraphs joined '\\n\\n') and the dedup runs
+      with sep='\\n\\n', dropping repeated PARAGRAPHS as single units.
+
+    Gate row carries md5(text_clean) plus per-doc unit/drop counts."""
     from sift_spark.operators.dedup import line_frequency_dedup
 
     docs = _docs(spark, sf_dir)
@@ -903,9 +909,29 @@ def _q_line_dedup(spark, sf_dir):
     multi = docs.select(
         "doc_id", F.array_join(lines, "\n").alias("text")
     )
-    out = line_frequency_dedup(multi, min_docs=2)
+    paras = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.ceil(F.size(lines) / F.lit(2.0)).cast("long") - 1,
+        ),
+        lambda j: F.array_join(
+            F.slice(lines, (j * 2 + 1).cast("int"), 2), "\n"
+        ),
+    )
+    multi_para = docs.select(
+        "doc_id", F.array_join(paras, "\n\n").alias("text")
+    )
+    out = (
+        line_frequency_dedup(multi, min_docs=2)
+        .withColumn("mode", F.lit("line"))
+        .unionByName(
+            line_frequency_dedup(multi_para, min_docs=2, sep="\n\n")
+            .withColumn("mode", F.lit("para"))
+        )
+    )
     return out.select(
         "doc_id",
+        "mode",
         F.md5(F.col("text_clean")).alias("clean_md5"),
         "n_lines",
         "n_dropped",
@@ -1431,13 +1457,62 @@ _LINE_DEDUP_SQL = r"""
                CASE WHEN f.n_docs_line IS NULL OR f.n_docs_line < 2
                     THEN 1 ELSE 0 END AS keep
         FROM norm n LEFT JOIN freq f ON f.lhash = md5(n.nrm)
+    ),
+    pmulti AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   generate_series(0, CAST(ceil(len(arr) / 2.0) AS BIGINT)
+                       - 1),
+                   j -> array_to_string(arr[j*2+1:j*2+2], chr(10))),
+                   chr(10) || chr(10)) AS text
+        FROM (
+            SELECT doc_id, regexp_split_to_array(text, chr(10)) AS arr
+            FROM multi
+        )
+    ),
+    plines AS (
+        SELECT doc_id, i - 1 AS pos, arr[i] AS line
+        FROM (
+            SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(text, '\n\n') AS arr
+                FROM pmulti
+            )
+        )
+    ),
+    pnorm AS (
+        SELECT doc_id, pos, line,
+               trim(regexp_replace(lower(line), '[ \t\r\n\f]+', ' ',
+                    'g')) AS nrm
+        FROM plines
+    ),
+    pfreq AS (
+        SELECT md5(nrm) AS lhash,
+               count(DISTINCT doc_id) AS n_docs_line
+        FROM pnorm WHERE length(nrm) >= 1
+        GROUP BY 1
+    ),
+    pmarked AS (
+        SELECT n.doc_id, n.pos, n.line,
+               CASE WHEN f.n_docs_line IS NULL OR f.n_docs_line < 2
+                    THEN 1 ELSE 0 END AS keep
+        FROM pnorm n LEFT JOIN pfreq f ON f.lhash = md5(n.nrm)
     )
-    SELECT doc_id,
+    SELECT doc_id, 'line' AS mode,
            md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
                         FILTER (WHERE keep = 1), '')) AS clean_md5,
            count(*) AS n_lines,
            CAST(sum(1 - keep) AS BIGINT) AS n_dropped
     FROM marked GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 'para' AS mode,
+           md5(coalesce(string_agg(line, chr(10) || chr(10) ORDER BY pos)
+                        FILTER (WHERE keep = 1), '')) AS clean_md5,
+           count(*) AS n_lines,
+           CAST(sum(1 - keep) AS BIGINT) AS n_dropped
+    FROM pmarked GROUP BY doc_id
 """
 
 

@@ -796,12 +796,19 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
 
 
 def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
-                         text_col="text", min_line_chars=1):
+                         text_col="text", min_line_chars=1, sep="\n"):
     """CCNet-style corpus-level boilerplate removal (Wenzek et al.,
     LREC'20 §3.1): drop every LINE whose normalized hash occurs in >=
     `min_docs` distinct documents across the corpus (navigation bars,
     cookie banners, footers repeat across a site's pages; prose does
     not), then reassemble the remaining lines in document order.
+
+    `sep` sets the unit granularity: the default "\\n" dedups lines;
+    "\\n\\n" dedups PARAGRAPHS (blank-line-delimited blocks, internal
+    single newlines preserved) -- the common middle ground between line
+    dedup and document minhash; CCNet's frequency criterion applies at
+    both granularities. Units are split on the literal separator and
+    reassembled with it.
 
     Plan: posexplode lines (narrow) -> line-hash frequency agg + equi
     join (one shuffle family on the 16-byte hash) -> one groupBy(doc)
@@ -821,9 +828,13 @@ def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
         F.lit(0).cast("long").alias("n_lines"),
         F.lit(0).cast("long").alias("n_dropped"),
     )
+    import re as _re
+
     lines = docs_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     )
     norm = normalized_text_col(F.col("line"))
     hashed = lines.withColumn("_norm_len", F.length(norm)).withColumn(
@@ -852,7 +863,7 @@ def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
                     ),
                     lambda x: x["line"],
                 ),
-                "\n",
+                sep,
             ).alias("text_clean"),
         )
         .select(id_col, "text_clean", "n_lines", "n_dropped")

@@ -1415,6 +1415,34 @@ def test_warc_date_variable_fraction_digits(spark, tmp_path):
         assert (ts.year, ts.hour, ts.minute, ts.second) == (2024, 1, 2, 3)
 
 
+def test_paragraph_frequency_dedup(spark):
+    """sep='\\n\\n' switches the CCNet frequency unit from lines to
+    paragraphs: a boilerplate paragraph (with internal newlines) is
+    dropped as one unit, while line mode on the same text would only
+    drop its individual lines; unique paragraphs keep their internal
+    structure."""
+    from sift_spark.operators.dedup import line_frequency_dedup
+
+    banner = "accept our cookies\nbefore you continue"
+    docs = spark.createDataFrame(
+        [(1, f"{banner}\n\nfirst unique prose\nacross two lines"),
+         (2, f"{banner}\n\nsecond unique paragraph"),
+         (3, "third document\n\nno banner at all")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           line_frequency_dedup(docs, min_docs=2, sep="\n\n").collect()}
+    assert out[1]["text_clean"] == "first unique prose\nacross two lines"
+    assert out[1]["n_lines"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "second unique paragraph"
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["text_clean"] == "third document\n\nno banner at all"
+
+    # line mode on the same corpus drops the banner's two lines
+    by_line = {r["doc_id"]: r for r in
+               line_frequency_dedup(docs, min_docs=2).collect()}
+    assert by_line[1]["n_dropped"] == 2
+
+
 def test_line_frequency_dedup_null_text_passthrough(spark):
     """ADVICE r4: null-text documents pass through with text_clean=null
     and zero counts instead of silently vanishing from the output."""
