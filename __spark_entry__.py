@@ -1024,29 +1024,32 @@ def _q_tpch_pricing_summary(spark, sf_dir):
     )
 
 
-def _q_tpch_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape (adapted to the synthetic schema: o_orderpriority
-    stands in for o_shippriority): three-table join, filtered both
-    sides, grouped revenue, deterministic top-10."""
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cutoff = F.lit("1995-06-15").cast("timestamp")
-    return (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, customer.c_custkey == orders.o_custkey)
-        .filter(F.col("o_orderdate") < cutoff)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .filter(F.col("l_shipdate") > F.lit("1995-06-15"))
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            _scaled_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-            ).alias("revenue")
-        )
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"),
-                 F.asc("l_orderkey"))
-        .limit(10)
+def _q_pack_materialize(spark, sf_dir):
+    """Loader-ready packed-sequence buffers
+    (packing.materialize_packed_sequences): md5-portable word ids + EOD
+    separators packed next-fit into 96-token sequences within 8 hash
+    shards. The DuckDB oracle re-derives the exact assignment with the
+    recursive-CTE fill threading (the pack_sequences oracle's pattern,
+    over counts+1 for the EOD) and checksums each sequence's
+    concatenated id stream (ids_md5) -- proving the emitted buffers
+    bit-for-bit. (Folded in for tpch_shipping_priority under the
+    50-row gate cap.)"""
+    from sift_spark.operators.packing import materialize_packed_sequences
+
+    out = materialize_packed_sequences(
+        _docs(spark, sf_dir), budget=96, n_shards=8, portable_hash=True
+    )
+    return out.select(
+        "shard",
+        "seq_no",
+        "n_docs",
+        "n_tokens",
+        "oversized",
+        F.md5(
+            F.array_join(
+                F.transform("token_ids", lambda x: x.cast("string")), ","
+            )
+        ).alias("ids_md5"),
     )
 
 
@@ -1125,7 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combine_sources": _q_combine_sources,
         # general engine sanity (joins/aggs)
         "tpch_pricing_summary": _q_tpch_pricing_summary,
-        "tpch_shipping_priority": _q_tpch_shipping_priority,
+        "pack_materialize": _q_pack_materialize,
         "orders_by_nation": _q_orders_by_nation,
     }
 
@@ -1409,6 +1412,54 @@ _PACKING_SQL = r"""
     SELECT doc_id, n_tokens, shard, seq_no, off AS "offset",
            n_tokens > 96 AS oversized
     FROM packed
+"""
+
+
+_PACK_MATERIALIZE_SQL = r"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                           w -> w <> '') AS words,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+                   1, 8))::BIGINT % 8 AS shard
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, shard,
+               CAST(coalesce(len(words), 0) + 1 AS BIGINT) AS n_tokens,
+               CASE WHEN coalesce(len(words), 0) = 0 THEN '0'
+                    ELSE array_to_string(list_transform(words,
+                         w -> CAST(('0x' || substr(md5(w), 1, 15))::BIGINT
+                              AS VARCHAR)), ',') || ',0'
+               END AS id_str
+        FROM base
+    ),
+    ordered AS (
+        SELECT doc_id, shard, n_tokens,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS rn
+        FROM sized
+    ),
+    packed AS (
+        SELECT shard, doc_id, n_tokens, rn,
+               CAST(0 AS BIGINT) AS seq_no, n_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 96
+                    THEN p.seq_no + 1 ELSE p.seq_no END,
+               CASE WHEN p.fill > 0 AND p.fill + o.n_tokens > 96
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        FROM ordered o
+        JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT p.shard, p.seq_no,
+           count(*) AS n_docs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           bool_or(p.n_tokens > 96) AS oversized,
+           md5(string_agg(s.id_str, ',' ORDER BY p.doc_id)) AS ids_md5
+    FROM packed p JOIN sized s ON p.doc_id = s.doc_id
+    GROUP BY p.shard, p.seq_no
 """
 
 
@@ -2261,20 +2312,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "tpch_shipping_priority": """
-            SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                       AS BIGINT)) / 10000.0 AS revenue
-            FROM customer
-            JOIN orders ON c_custkey = o_custkey
-            JOIN lineitem ON o_orderkey = l_orderkey
-            WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '1995-06-15'
-              AND l_shipdate > DATE '1995-06-15'
-            GROUP BY l_orderkey, o_orderdate, o_orderpriority
-            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
-            LIMIT 10
-        """,
+        "pack_materialize": _PACK_MATERIALIZE_SQL,
         "orders_by_nation": """
             SELECT n_name, count(*) AS n_orders,
                    sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0

@@ -140,7 +140,7 @@ def media_main(argv=None):
 def run_curation_job(spark, docs_df, output_dir, lang="en",
                      min_quality=0.5, redact=False, dedup=True,
                      benchmark_df=None, ngram=13, pack_budget=0,
-                     n_shards=64):
+                     n_shards=64, vocab_path=None):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -151,7 +151,10 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
 
     Writes the curated documents to `output_dir` (and, when packing is
     requested, the (doc -> sequence) assignment to
-    `output_dir + "_packed"`); returns (curated DataFrame re-read from
+    `output_dir + "_packed"` PLUS the loader-ready token buffers --
+    token_ids arrays with EOD separators, one row per sequence -- to
+    `output_dir + "_tokens"`; vocab_path selects the BPE vocabulary
+    for the buffers); returns (curated DataFrame re-read from
     the sink, stage-count metrics dict). Stage counts come from
     DataFrame.observe, piggybacked on the sink write -- ZERO extra jobs
     (a .count() per stage would re-run the upstream pipeline four times
@@ -162,7 +165,10 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
 
     from .operators.dedup import dedup_exact
     from .operators.decontam import remove_contaminated
-    from .operators.packing import pack_sequences
+    from .operators.packing import (
+        materialize_packed_sequences,
+        pack_sequences,
+    )
     from .operators.pii import redact_pii
     from .operators.textstats import lang_id_col, quality_cols
 
@@ -202,6 +208,9 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         pack_sequences(out, pack_budget, n_shards=n_shards).write.mode(
             "overwrite"
         ).parquet(output_dir + "_packed")
+        materialize_packed_sequences(
+            out, pack_budget, n_shards=n_shards, vocab_path=vocab_path
+        ).write.mode("overwrite").parquet(output_dir + "_tokens")
 
     metrics = {}
     for stage, obs in observations.items():
@@ -229,6 +238,9 @@ def curate_main(argv=None):
                         help="token budget per training sequence "
                              "(0 = skip packing)")
     parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--vocab", default=None,
+                        help="tiktoken-format BPE vocab for the packed "
+                             "token buffers (default: fallback ids)")
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -249,6 +261,7 @@ def curate_main(argv=None):
         ngram=args.ngram,
         pack_budget=args.pack_budget,
         n_shards=args.shards,
+        vocab_path=args.vocab,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")

@@ -109,6 +109,139 @@ def pack_sequences(docs_df, budget, n_shards=64, id_col="doc_id",
     return base.groupBy("shard").applyInPandas(pack, PACKED_SCHEMA)
 
 
+PACKED_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq_no", T.LongType()),
+        T.StructField("token_ids", T.ArrayType(T.LongType())),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("oversized", T.BooleanType()),
+    ]
+)
+
+_WS_SPLIT = None  # compiled lazily inside the kernels (worker-side)
+
+
+def _portable_word_ids(text):
+    """Whitespace words -> deterministic 60-bit ids from the md5 prefix
+    -- the engine-portable twin a SQL oracle reproduces verbatim as
+    ('0x' || substr(md5(w), 1, 15))::BIGINT. Production runs use the
+    BPE encoder instead (see _encoder_for)."""
+    import hashlib
+    import re
+
+    global _WS_SPLIT
+    if _WS_SPLIT is None:
+        _WS_SPLIT = re.compile(r"[ \t\r\n\f]+")
+    return [
+        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+        for w in _WS_SPLIT.split(text or "")
+        if w
+    ]
+
+
+def _encoder_for(vocab_path, portable_hash):
+    """text -> list[int] token ids. Portable mode: md5-prefix word ids
+    (SQL-reproducible). Production: the from-scratch BPE encoder when a
+    tiktoken-format vocab resolves (real cl100k ids); otherwise the
+    deterministic fallback tokenizer's spans, each mapped to the same
+    md5-prefix id space -- deterministic and collision-safe (60 bits)
+    but NOT a trained vocabulary; pass vocab_path for loader-ready
+    ids."""
+    if portable_hash:
+        return _portable_word_ids
+    from ..core.counters import BPETokenizer, get_tokenizer
+
+    tok = get_tokenizer(vocab_path)
+    if isinstance(tok, BPETokenizer):
+        return lambda text: tok.encode(text or "")
+
+    import hashlib
+
+    def span_ids(text):
+        return [
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            for s in tok.encode_spans(text or "")
+        ]
+
+    return span_ids
+
+
+def materialize_packed_sequences(docs_df, budget, n_shards=64,
+                                 id_col="doc_id", text_col="text",
+                                 eod_id=0, vocab_path=None,
+                                 portable_hash=False):
+    """Loader-ready packed sequences: (shard, seq_no,
+    token_ids array<long>, n_docs, n_tokens, oversized) -- the actual
+    token buffers a training data loader consumes, materialized from
+    the :func:`pack_sequences` assignment with an end-of-document
+    separator (`eod_id`) appended after every document.
+
+    Every document costs len(encode(text)) + 1 tokens (its EOD), and
+    the next-fit packing runs over THAT count, so each emitted buffer
+    is <= budget tokens except oversized single-document sequences
+    (flagged; chunk or drop upstream).
+
+    100 TB shape: two tokenizer passes buy bounded memory. Pass 1 is a
+    narrow Arrow UDF computing per-doc token counts; the assignment is
+    pack_sequences over those counts (one grouped kernel per hash
+    shard, rows are (id, count) only). Pass 2 joins the assignment back
+    to the text and encodes per (shard, seq_no) group -- so peak
+    per-group memory is ONE sequence (~budget tokens), not one shard,
+    at the cost of tokenizing twice. The assignment is a pure function
+    of (doc ids, counts, budget, n_shards): stable across partition
+    layouts and resumable.
+
+    portable_hash: md5-derived shard assignment AND md5-prefix word
+    ids, both reproducible by a SQL oracle (driver-gate twin);
+    production keeps xxhash64 shards and BPE ids (vocab_path ->
+    tiktoken-format ranks; see _encoder_for for the no-vocab
+    fallback)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    encode = _encoder_for(vocab_path, portable_hash)
+
+    @F.pandas_udf(T.LongType())
+    def n_with_eod(text: pd.Series) -> pd.Series:
+        return text.map(lambda value: len(encode(value)) + 1)
+
+    counted = docs_df.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    ).withColumn("_n_plus_eod", n_with_eod(F.col("_text")))
+    assignment = pack_sequences(
+        counted, budget, n_shards, id_col=id_col,
+        tokens_col="_n_plus_eod", portable_hash=portable_hash,
+    )
+    joined = counted.select(
+        F.col(id_col).cast("long").alias("doc_id"), "_text"
+    ).join(assignment.select("doc_id", "shard", "seq_no"), "doc_id")
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        ids = []
+        oversized = False
+        for text in pdf["_text"]:
+            doc_ids = encode(text)
+            ids.extend(doc_ids)
+            ids.append(eod_id)
+            oversized = oversized or (len(doc_ids) + 1 > budget)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "seq_no": [int(pdf["seq_no"].iloc[0])],
+                "token_ids": [ids],
+                "n_docs": [len(pdf)],
+                "n_tokens": [len(ids)],
+                "oversized": [oversized],
+            }
+        )
+
+    return joined.groupBy("shard", "seq_no").applyInPandas(
+        encode_group, PACKED_TOKENS_SCHEMA
+    )
+
+
 def packing_stats(packed_df, budget):
     """Per-shard packing efficiency: sequences, mean fill ratio, number
     of oversized docs -- the monitor a production packing job logs."""

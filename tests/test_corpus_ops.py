@@ -1087,6 +1087,91 @@ def test_pack_sequences_partition_invariant(spark):
         pack_sequences(docs, budget=0)
 
 
+def test_materialize_packed_sequences_portable(spark):
+    """Loader-ready buffers: every sequence is <= budget tokens (unless
+    flagged oversized), token ids reproduce the md5-prefix word-id
+    formula with an EOD after each document, totals reconcile with the
+    corpus, and the layout is partition-invariant."""
+    import hashlib
+
+    from sift_spark.operators.packing import materialize_packed_sequences
+
+    texts = {i: "alpha beta gamma delta " * (1 + (i * 3) % 7)
+             for i in range(40)}
+    texts[900] = "huge " * 150  # oversized at budget 64
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    out = materialize_packed_sequences(
+        docs, budget=64, n_shards=4, portable_hash=True).collect()
+
+    def wid(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    total_docs = total_tokens = 0
+    for r in out:
+        assert r["n_tokens"] == len(r["token_ids"])
+        assert r["oversized"] or r["n_tokens"] <= 64
+        assert r["token_ids"].count(0) == r["n_docs"]  # one EOD per doc
+        total_docs += r["n_docs"]
+        total_tokens += r["n_tokens"]
+    assert total_docs == len(texts)
+    assert total_tokens == sum(
+        len(t.split()) + 1 for t in texts.values())
+
+    # exact id stream: each sequence is the doc_id-ordered concat of
+    # md5-prefix word ids + EOD -- reconstruct and compare globally
+    words_of = {i: [wid(w) for w in t.split()] + [0]
+                for i, t in texts.items()}
+    emitted = sorted(
+        (r["shard"], r["seq_no"], tuple(r["token_ids"])) for r in out)
+    # rebuild the expected assignment with the operator itself at the
+    # count level, then check the buffers agree with the texts
+    from sift_spark.operators.packing import pack_sequences, word_count_col
+
+    counted = docs.withColumn("_n", word_count_col("text") + 1)
+    assign = pack_sequences(counted, 64, 4, tokens_col="_n",
+                            portable_hash=True).collect()
+    expect = {}
+    for a in sorted(assign, key=lambda a: a["doc_id"]):
+        expect.setdefault((a["shard"], a["seq_no"]), []).extend(
+            words_of[a["doc_id"]])
+    assert emitted == sorted(
+        (s, q, tuple(ids)) for (s, q), ids in expect.items())
+
+    # partition invariance of the whole materialization
+    again = sorted(
+        (r["shard"], r["seq_no"], tuple(r["token_ids"]))
+        for r in materialize_packed_sequences(
+            docs.repartition(16), budget=64, n_shards=4,
+            portable_hash=True).collect())
+    assert again == emitted
+
+
+def test_materialize_packed_sequences_bpe_vocab(spark):
+    """Production path with a real tiktoken-format vocab: buffers carry
+    the BPE encoder's ids and round-trip through its decoder."""
+    import os
+
+    from sift_spark.core.counters import BPETokenizer
+    from sift_spark.operators.packing import materialize_packed_sequences
+
+    vocab = os.path.join(os.path.dirname(__file__), "golden",
+                         "tiny_bpe.tiktoken")
+    tok = BPETokenizer.from_file(vocab)
+    texts = {1: "the cat sat", 2: "on the mat", 3: "the end"}
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    out = materialize_packed_sequences(
+        docs, budget=1000, n_shards=1, vocab_path=vocab,
+        eod_id=-7).collect()
+    buffer = []
+    for r in sorted(out, key=lambda r: (r["shard"], r["seq_no"])):
+        buffer.extend(r["token_ids"])
+    expect = []
+    for i in sorted(texts):
+        expect.extend(tok.encode(texts[i]))
+        expect.append(-7)
+    assert buffer == expect
+
+
 def test_curation_job_end_to_end(spark, tmp_path):
     """One spark-submit job composes the full training-data pipeline:
     gates -> PII scrub -> exact dedup -> decontamination -> packing."""
@@ -1129,6 +1214,14 @@ def test_curation_job_end_to_end(spark, tmp_path):
     packed = spark.read.parquet(output_dir + "_packed").collect()
     assert {r["doc_id"] for r in packed} == {4}
     assert all(r["offset"] == 0 for r in packed)
+
+    # loader-ready buffers: the surviving doc's tokens + its EOD in a
+    # single (oversized, since the doc exceeds 32 tokens) sequence
+    tokens = spark.read.parquet(output_dir + "_tokens").collect()
+    assert sum(r["n_docs"] for r in tokens) >= 1
+    assert all(r["n_tokens"] == len(r["token_ids"]) for r in tokens)
+    assert sum(r["token_ids"].count(0) for r in tokens) == 1  # one EOD
+    assert all(r["oversized"] or r["n_tokens"] <= 32 for r in tokens)
 
 
 def test_pii_scrub_to_zero_property():
