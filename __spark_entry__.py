@@ -796,17 +796,34 @@ def _q_distinct_sketch(spark, sf_dir):
 
 
 def _q_stratified_sample(spark, sf_dir):
-    """Deterministic hash sampling (reproducible corpus mixing): keep 90%
-    of English, 40% of German, 10% of everything else, by md5(doc_id)
-    bucket -- membership is a pure function of the row, stable across
-    partitionings/engines (unlike df.sample)."""
-    from sift_spark.operators.sampling import stratified_hash_sample
+    """Deterministic hash sampling (reproducible corpus mixing), both
+    rate sources folded into one gate row (mode column, UNION ALL
+    oracle):
+
+    * mode 'fixed': keep 90% of English, 40% of German, 10% of
+      everything else, by md5(doc_id) bucket -- membership is a pure
+      function of the row, stable across partitionings/engines (unlike
+      df.sample).
+    * mode 'temp': XLM-style temperature resampling (alpha=0.5,
+      sampling.temperature_resample) -- per-lang keep rates
+      ~ p^(alpha-1) normalized to max 1.0, derived from the corpus
+      itself; the oracle recomputes the rates with the identical
+      correctly-rounded IEEE expression sequence (1/sqrt(n) then
+      divide), proving bit-exact thresholds."""
+    from sift_spark.operators.sampling import (
+        stratified_hash_sample,
+        temperature_resample,
+    )
 
     docs = _docs(spark, sf_dir)
-    return stratified_hash_sample(
+    fixed = stratified_hash_sample(
         docs, {"en": 0.9, "de": 0.4}, stratum_col="lang",
         key_col="doc_id", default_rate=0.1, seed=7,
-    ).select("doc_id", "lang")
+    ).select("doc_id", "lang").withColumn("mode", F.lit("fixed"))
+    temp = temperature_resample(
+        docs, stratum_col="lang", key_col="doc_id", alpha=0.5, seed=11
+    ).select("doc_id", "lang").withColumn("mode", F.lit("temp"))
+    return fixed.unionByName(temp).select("doc_id", "mode", "lang")
 
 
 def _q_corpus_curation(spark, sf_dir):
@@ -2258,12 +2275,31 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "stratified_sample": """
-            SELECT doc_id, lang FROM documents
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents
+                WHERE lang IS NOT NULL GROUP BY lang
+            ),
+            wmax AS (
+                SELECT max(1.0 / sqrt(CAST(n AS DOUBLE))) AS w FROM counts
+            ),
+            rates AS (
+                SELECT lang,
+                       (1.0 / sqrt(CAST(n AS DOUBLE)))
+                           / (SELECT w FROM wmax) AS rate
+                FROM counts
+            )
+            SELECT doc_id, 'fixed' AS mode, lang FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'),
                    1, 8))::BIGINT
                   < CASE lang WHEN 'en' THEN 3865470566
                               WHEN 'de' THEN 1717986918
                               ELSE 429496729 END
+            UNION ALL
+            SELECT d.doc_id, 'temp' AS mode, d.lang
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':11'),
+                   1, 8))::BIGINT
+                  < CAST(trunc(r.rate * 4294967296.0) AS BIGINT)
         """,
         "corpus_curation": f"""
             WITH prof AS ({quality_sql}),

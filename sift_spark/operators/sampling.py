@@ -50,3 +50,49 @@ def stratified_hash_sample(df, rates, stratum_col, key_col,
             F.col(stratum_col) == value, F.lit(int(rate * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(sample_bucket_col(key_col, seed) < threshold)
+
+
+def temperature_sampling_rates(df, stratum_col, alpha=0.5):
+    """Per-stratum keep rates realizing TEMPERATURE SAMPLING by
+    deterministic downsampling: with stratum shares p_i, the target
+    distribution is q_i ~ p_i^alpha (Lample & Conneau, XLM, arXiv
+    1901.07291 sec. 3.1; the multilingual/source rebalancing used by
+    XLM-R- and GPT-3-style corpus mixes). Realized without upsampling:
+    keep rate r_i ~ q_i / p_i = p_i^(alpha-1), normalized so the
+    smallest stratum keeps everything (max rate 1.0). alpha=1 keeps the
+    natural distribution; alpha=0 equalizes strata; alpha in between
+    flattens head strata while keeping tails intact.
+
+    The groupBy-count collect is one tiny driver-side list (one row per
+    stratum -- same bounded-list pattern as the skewed-host pre-pass).
+    For alpha=0.5 the rate expression uses only correctly-rounded IEEE
+    ops (sqrt, divide), so a SQL oracle mirroring the same expression
+    sequence reproduces the thresholds bit-for-bit; other alphas go
+    through pow (still deterministic in-engine, just not proven
+    cross-engine-exact)."""
+    import math
+
+    counts = {
+        row[0]: row[1]
+        for row in df.groupBy(stratum_col).count().collect()
+        if row[0] is not None
+    }
+    if not counts:
+        return {}
+    if alpha == 0.5:
+        weights = {k: 1.0 / math.sqrt(float(n)) for k, n in counts.items()}
+    else:
+        weights = {k: float(n) ** (alpha - 1.0) for k, n in counts.items()}
+    wmax = max(weights.values())
+    return {k: w / wmax for k, w in weights.items()}
+
+
+def temperature_resample(df, stratum_col, key_col, alpha=0.5, seed=0):
+    """Temperature-rebalanced corpus: stratified hash sampling with the
+    rates from :func:`temperature_sampling_rates`. Deterministic,
+    partition-layout invariant, append-stable -- the mixing step between
+    per-source curation and packing."""
+    rates = temperature_sampling_rates(df, stratum_col, alpha)
+    return stratified_hash_sample(
+        df, rates, stratum_col=stratum_col, key_col=key_col, seed=seed
+    )

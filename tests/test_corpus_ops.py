@@ -683,6 +683,42 @@ def test_stratified_hash_sample_rates(spark):
     assert 50 < counts.get("de", 0) < 160
 
 
+def test_temperature_resample(spark):
+    """XLM-style temperature rebalancing: alpha=1 keeps everything,
+    alpha=0.5 downsamples head strata toward sqrt-flattened shares
+    (rate_i = sqrt(n_min/n_i)), the smallest stratum always keeps rate
+    1.0, and membership is partition-layout invariant."""
+    from sift_spark.operators.sampling import (
+        temperature_resample,
+        temperature_sampling_rates,
+    )
+
+    rows = ([(i, "en") for i in range(3600)]
+            + [(10_000 + i, "fr") for i in range(400)])
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    rates = temperature_sampling_rates(df, "lang", alpha=0.5)
+    assert rates["fr"] == 1.0
+    assert abs(rates["en"] - (400 / 3600) ** 0.5) < 1e-12  # sqrt(1/9)=1/3
+
+    assert temperature_resample(df, "lang", "doc_id",
+                                alpha=1.0).count() == 4000
+
+    out = temperature_resample(df, "lang", "doc_id", alpha=0.5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 400  # smallest stratum fully kept
+    assert 1000 < counts["en"] < 1400  # ~3600/3 expected
+
+    again = {tuple(r) for r in temperature_resample(
+        df.repartition(16), "lang", "doc_id", alpha=0.5).collect()}
+    assert again == {tuple(r) for r in out.collect()}
+
+    # alpha=0 equalizes expected stratum sizes: en rate = 400/3600
+    flat = temperature_sampling_rates(df, "lang", alpha=0.0)
+    assert abs(flat["en"] - 400 / 3600) < 1e-12
+
+
 def test_kmv_distinct_estimate(spark):
     """KMV sketch: exact below k, ~1/sqrt(k) relative error above it,
     deterministic (md5), and partitioning-invariant."""
