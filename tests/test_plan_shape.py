@@ -252,3 +252,21 @@ def test_pack_sequences_single_shuffle(spark):
     plan = plan_of(pack_sequences(docs, budget=8, n_shards=4))
     assert count_nodes(plan, "Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_materialize_packed_sequences_plan_shape(spark):
+    """Buffer materialization: an equi-join of the assignment back to
+    the text (never a cartesian/nested-loop), exactly one grouped-map
+    kernel per stage family (the packer + the encoder), and bounded
+    shuffles -- count UDF is narrow, so Exchanges come only from the
+    shard groupBy, the join, and the (shard, seq_no) groupBy."""
+    from sift_spark.operators.packing import materialize_packed_sequences
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "d e")],
+                                 ["doc_id", "text"])
+    plan = plan_of(materialize_packed_sequences(
+        docs, budget=8, n_shards=4, portable_hash=True))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "FlatMapGroupsInPandas") == 2
+    assert count_nodes(plan, "Exchange") <= 4
