@@ -140,7 +140,8 @@ def media_main(argv=None):
 def run_curation_job(spark, docs_df, output_dir, lang="en",
                      min_quality=0.5, redact=False, dedup=True,
                      benchmark_df=None, ngram=13, pack_budget=0,
-                     n_shards=64, vocab_path=None):
+                     n_shards=64, vocab_path=None,
+                     temperature_stratum=None, temperature_alpha=0.5):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -154,7 +155,10 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     `output_dir + "_packed"` PLUS the loader-ready token buffers --
     token_ids arrays with EOD separators, one row per sequence -- to
     `output_dir + "_tokens"`; vocab_path selects the BPE vocabulary
-    for the buffers); returns (curated DataFrame re-read from
+    for the buffers). temperature_stratum switches on XLM-style
+    temperature resampling (operators/sampling.py) between curation and
+    packing, writing the rebalanced mix to `output_dir + "_mixed"` and
+    packing from it. Returns (curated DataFrame re-read from
     the sink, stage-count metrics dict). Stage counts come from
     DataFrame.observe, piggybacked on the sink write -- ZERO extra jobs
     (a .count() per stage would re-run the upstream pipeline four times
@@ -204,6 +208,20 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         )
     curated.write.mode("overwrite").parquet(output_dir)
     out = spark.read.parquet(output_dir)
+    if temperature_stratum:
+        # corpus mixing between curation and packing: the rate
+        # derivation's groupBy-count runs over the WRITTEN sink (a
+        # parquet scan), never re-running the curation pipeline
+        from .operators.sampling import temperature_resample
+
+        mixed = observed(
+            temperature_resample(out, stratum_col=temperature_stratum,
+                                 key_col="doc_id",
+                                 alpha=temperature_alpha),
+            "after_mix",
+        )
+        mixed.write.mode("overwrite").parquet(output_dir + "_mixed")
+        out = spark.read.parquet(output_dir + "_mixed")
     if pack_budget:
         pack_sequences(out, pack_budget, n_shards=n_shards).write.mode(
             "overwrite"
@@ -238,6 +256,10 @@ def curate_main(argv=None):
                         help="token budget per training sequence "
                              "(0 = skip packing)")
     parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--mix-stratum", default=None,
+                        help="column to temperature-rebalance on after "
+                             "curation (e.g. source); off by default")
+    parser.add_argument("--mix-alpha", type=float, default=0.5)
     parser.add_argument("--vocab", default=None,
                         help="tiktoken-format BPE vocab for the packed "
                              "token buffers (default: fallback ids)")
@@ -262,6 +284,8 @@ def curate_main(argv=None):
         pack_budget=args.pack_budget,
         n_shards=args.shards,
         vocab_path=args.vocab,
+        temperature_stratum=args.mix_stratum,
+        temperature_alpha=args.mix_alpha,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")

@@ -1238,6 +1238,7 @@ def test_curation_job_end_to_end(spark, tmp_path):
         "--input", input_dir, "--output", output_dir,
         "--redact-pii", "--benchmark", bench_dir,
         "--pack-budget", "32", "--shards", "2",
+        "--mix-stratum", "lang_guess",
     ])
 
     out = {r["doc_id"]: r for r in spark.read.parquet(output_dir).collect()}
@@ -1250,6 +1251,11 @@ def test_curation_job_end_to_end(spark, tmp_path):
     packed = spark.read.parquet(output_dir + "_packed").collect()
     assert {r["doc_id"] for r in packed} == {4}
     assert all(r["offset"] == 0 for r in packed)
+
+    # temperature mix stage between curation and packing: a single
+    # stratum keeps rate 1.0, so the mixed sink carries the same doc
+    mixed = spark.read.parquet(output_dir + "_mixed").collect()
+    assert {r["doc_id"] for r in mixed} == {4}
 
     # loader-ready buffers: the surviving doc's tokens + its EOD in a
     # single (oversized, since the doc exceeds 32 tokens) sequence

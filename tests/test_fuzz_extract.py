@@ -45,6 +45,21 @@ def test_never_raises_on_binary(raw):
         assert error is None or isinstance(error, str)
 
 
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_warc_parse_never_raises_on_garbage(raw):
+    """Crawl segments arrive corrupted; the WARC parse must convert any
+    framing damage into an error row, never a task-killing exception --
+    including truncated gzip members (the b'\\x1f\\x8b' prefix path)."""
+    import gzip
+
+    from sift_spark.sources.warc import iter_warc_pages
+
+    for data in (raw, b"\x1f\x8b" + raw, gzip.compress(raw)[:-3]):
+        for page in iter_warc_pages(data, "fuzz"):
+            assert page["error"] is None or isinstance(page["error"], str)
+
+
 @given(st.text(max_size=200))
 @settings(max_examples=300, deadline=None)
 def test_unicode_robustness(html):
