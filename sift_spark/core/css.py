@@ -32,7 +32,9 @@ _SIMPLE_RE = re.compile(
         \.[a-zA-Z_][a-zA-Z0-9_-]*      |   # class
         \#[a-zA-Z_][a-zA-Z0-9_-]*      |   # id
         \[[a-zA-Z_][a-zA-Z0-9_-]*{_ATTR_VALUE}\] |
-        :[a-zA-Z-]+(?:\([^()]*\))?         # pseudo-class
+        :[a-zA-Z-]+(?:\((?:[^()]|\([^()]*\))*\))?  # pseudo-class; one
+                                           # nesting level in the args
+                                           # (:has(:nth-child(2)))
     )*)
     """,
     re.VERBOSE,
@@ -43,7 +45,7 @@ _PART_RE = re.compile(
       | \[([a-zA-Z_][a-zA-Z0-9_-]*)
            (?:\s*([~^$*|]?=)\s*("[^"]*"|'[^']*'|[^\]\s]*)
               (?:\s+([iIsS]))?\s*)?\]
-      | :([a-zA-Z-]+)(?:\(([^()]*)\))?
+      | :([a-zA-Z-]+)(?:\(((?:[^()]|\([^()]*\))*)\))?
     """,
     re.VERBOSE,
 )
@@ -213,6 +215,19 @@ class _Simple:
         return True
 
 
+def _contains_top_level(text, chars):
+    """True when any of `chars` appears outside parentheses."""
+    depth = 0
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in chars:
+            return True
+    return False
+
+
 def _parse_simple(text):
     m = _SIMPLE_RE.fullmatch(text)
     if m is None or (not m.group("tag") and not m.group("rest")):
@@ -241,7 +256,9 @@ def _parse_simple(text):
             elif name == "not":
                 if not arg or not arg.strip():
                     raise SelectorError(":not requires an argument")
-                if re.search(r"[\s>+~,]", arg.strip()):
+                if _contains_top_level(arg.strip(), " \t>+~,"):
+                    # combinators/commas only count OUTSIDE parens --
+                    # :not(:nth-child(2n+1)) is a simple selector
                     raise SelectorError(
                         ":not accepts a simple selector only"
                     )
@@ -287,10 +304,11 @@ def _parse_compound_chain(selector):
     )
     # paren-aware tokenizer: '+' inside :nth-child(2n+1) is NOT a
     # combinator, so a simple-selector token may contain (...) groups
+    # (one nesting level, for :has(:nth-child(2))-style arguments)
     tokens = []
     pos = 0
     for m in re.finditer(
-        r"\s*(?:([>+~])|((?:\([^()]*\)|\[[^\]]*\]|[^\s>+~([])+))",
+        r"\s*(?:([>+~])|((?:\((?:[^()]|\([^()]*\))*\)|\[[^\]]*\]|[^\s>+~([])+))",
         normalized,
     ):
         if m.start() != pos:
@@ -454,9 +472,10 @@ def _match_prefix(chain, idx, node):
 def _parse_has_arg(arg):
     """Parse a :has() argument: a comma list of RELATIVE selectors, each
     optionally starting with a combinator (':has(> p)', ':has(~ li a)').
-    Returns [(anchor_combinator, chain), ...]. Nested parens inside the
-    argument (':has(:nth-child(2))') are a documented non-goal of the
-    tokenizer, like the reference's rarely-hit cascadia tail."""
+    Returns [(anchor_combinator, chain), ...]. One level of nested
+    parens inside the argument (':has(:nth-child(2))',
+    ':has(:not(.ad))') is supported; deeper nesting
+    (':has(:not(:nth-child(2)))') remains out of grammar and raises."""
     alternatives = []
     for alt in _split_top_commas(arg):
         alt = alt.strip()

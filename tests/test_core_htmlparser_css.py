@@ -471,6 +471,28 @@ def test_namespace_selectors():
     assert texts("svg > svg|circle") == [""]
 
 
+def test_has_and_not_nested_pseudo_args():
+    """One level of paren nesting inside pseudo-class arguments:
+    :has(:nth-child(2)), :has(:not(.x)), :not(:nth-child(2n+1)) --
+    previously a documented tokenizer non-goal; deeper nesting still
+    raises."""
+    doc = parse(
+        "<ul><li>one</li><li class='ad'>two</li><li>three</li></ul>"
+        "<ol><li>only</li></ol>"
+    )
+    # ul has a 2nd element child; ol does not
+    assert [n.tag for n in css.select(doc, ":has(:nth-child(2))")] == ["ul"]
+    # :has(:not(...)): ol's only li has no class -> matches :not(.ad)
+    assert [n.tag for n in css.select(doc, "ol:has(:not(.ad))")] == ["ol"]
+    # :not with a parenthesized nth argument, odd positions excluded
+    got = [n.inner_text()
+           for n in css.select(doc, "ul li:not(:nth-child(2n+1))")]
+    assert got == ["two"]
+    # depth-2 nesting stays out of grammar
+    with pytest.raises(css.SelectorError):
+        css.compile_selector(":has(:not(:nth-child(2)))")
+
+
 def test_namespace_selector_errors():
     for bad in ("svg|", "|", "a||b", "svg|.cls"):
         with pytest.raises(css.SelectorError):
