@@ -135,6 +135,33 @@ def ivf_build(emb_df, n_clusters=16, seed=42, id_col="vec_id",
     return assigned, centers
 
 
+def ivf_save(index, path):
+    """Persist an ivf_build index for reuse across jobs: the assignment
+    table as parquet (distributed write) plus the centroid list as a
+    small JSON sidecar. The assignment is corpus-sized -- parquet, never
+    the driver; the centers are n_clusters small vectors -- driver-side
+    JSON is the right place."""
+    import json
+    import os
+
+    assigned, centers = index
+    assigned.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
+    with open(os.path.join(path, "centers.json"), "w") as fh:
+        json.dump(centers, fh)
+
+
+def ivf_load(spark, path):
+    """Load an index persisted by :func:`ivf_save`; returns the
+    (assigned_df, centers) pair ivf_cosine_topk consumes via `index=`."""
+    import json
+    import os
+
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
+    with open(os.path.join(path, "centers.json")) as fh:
+        centers = json.load(fh)
+    return assigned, centers
+
+
 def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,
                     seed=42, id_col="vec_id", vec_col="embedding",
                     index=None):

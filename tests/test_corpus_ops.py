@@ -550,6 +550,31 @@ def test_ivf_index_reuse_single_fit(spark, embeddings, monkeypatch):
     index[0].unpersist()
 
 
+def test_ivf_save_load_roundtrip(spark, embeddings, tmp_path):
+    """An ivf_build index persisted to disk and reloaded serves queries
+    identically to the in-memory pair -- the cross-job form of
+    build-once/probe-many."""
+    from sift_spark.operators.similarity import (
+        ivf_build,
+        ivf_cosine_topk,
+        ivf_load,
+        ivf_save,
+    )
+
+    q = list(embeddings.filter(F.col("vec_id") == 2).first()["embedding"])
+    index = ivf_build(embeddings, n_clusters=8)
+    want = [r["vec_id"] for r in ivf_cosine_topk(
+        embeddings, q, k=5, nprobe=8, index=index).collect()]
+
+    path = str(tmp_path / "ivf_index")
+    ivf_save(index, path)
+    loaded = ivf_load(spark, path)
+    assert loaded[1] == index[1]  # centers survive JSON exactly
+    got = [r["vec_id"] for r in ivf_cosine_topk(
+        embeddings, q, k=5, nprobe=8, index=loaded).collect()]
+    assert got == want
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the per-iteration lineage cut from
     localCheckpoint to reliable checkpoint(): same labels through both
