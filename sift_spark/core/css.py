@@ -8,6 +8,7 @@ foreign-content namespaces), .class, #id, [attr],
 [attr=value], compound selectors, descendant (whitespace) / child (>) /
 adjacent-sibling (+) / general-sibling (~) combinators, the child-position
 pseudo-classes :first-child / :last-child / :nth-child(an+b|odd|even|n),
+matches-any :is()/:where() over compound lists,
 and comma-separated selector lists. Invalid syntax raises SelectorError
 (the reference surfaces a parse error for ">>invalid<<")."""
 
@@ -109,7 +110,7 @@ _PSEUDO_NAMES = frozenset((
     "only-child",
     "first-of-type", "last-of-type", "nth-of-type", "nth-last-of-type",
     "only-of-type",
-    "empty", "not", "root", "has",
+    "empty", "not", "root", "has", "is", "where",
 ))
 _NTH_PSEUDOS = frozenset((
     "nth-child", "nth-of-type", "nth-last-child", "nth-last-of-type",
@@ -191,6 +192,13 @@ class _Simple:
                 if not _has_matches(node, arg):
                     return False
                 continue
+            if name in ("is", "where"):
+                # matches-any over the alternative list; :where differs
+                # from :is only in specificity, which this matcher does
+                # not rank
+                if not any(alt.matches(node) for alt in arg):
+                    return False
+                continue
             if name == "empty":
                 if any(
                     c.tag is not None or c.text for c in node.children
@@ -267,6 +275,22 @@ def _parse_simple(text):
                 if not arg or not arg.strip():
                     raise SelectorError(":has requires an argument")
                 pseudo_tests.append((name, _parse_has_arg(arg)))
+            elif name in ("is", "where"):
+                # Selectors 4 matches-any; this matcher accepts a list
+                # of COMPOUND selectors (combinators inside the list are
+                # out of grammar, same restriction as :not)
+                if not arg or not arg.strip():
+                    raise SelectorError(f":{name} requires an argument")
+                alternatives = []
+                for alt in _split_top_commas(arg):
+                    alt = alt.strip()
+                    if not alt or _contains_top_level(alt, " \t>+~"):
+                        raise SelectorError(
+                            f":{name} accepts a compound selector "
+                            f"list only: {arg!r}"
+                        )
+                    alternatives.append(_parse_simple(alt))
+                pseudo_tests.append((name, tuple(alternatives)))
             else:
                 if arg is not None:
                     raise SelectorError(f":{name} takes no argument")

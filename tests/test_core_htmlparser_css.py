@@ -471,6 +471,24 @@ def test_namespace_selectors():
     assert texts("svg > svg|circle") == [""]
 
 
+def test_is_where_matches_any():
+    """:is()/:where() compound-list support: matches-any semantics,
+    composable with combinators and other pseudos; combinators inside
+    the list stay out of grammar (same restriction as :not)."""
+    doc = parse(
+        "<div><p class='a'>one</p><span>two</span><em>three</em></div>"
+        "<section><p>four</p></section>"
+    )
+    texts = lambda sel: [n.inner_text() for n in css.select(doc, sel)]
+    assert texts(":is(p, em)") == ["one", "three", "four"]
+    assert texts(":where(p, em)") == texts(":is(p, em)")
+    assert texts("div :is(p.a, em)") == ["one", "three"]
+    assert texts(":is(p):first-child") == ["one", "four"]
+    for bad in (":is()", ":is(a b)", ":where(p > i)"):
+        with pytest.raises(css.SelectorError):
+            css.compile_selector(bad)
+
+
 def test_has_and_not_nested_pseudo_args():
     """One level of paren nesting inside pseudo-class arguments:
     :has(:nth-child(2)), :has(:not(.x)), :not(:nth-child(2n+1)) --
