@@ -224,12 +224,21 @@ class _Simple:
 
 
 def _contains_top_level(text, chars):
-    """True when any of `chars` appears outside parentheses."""
+    """True when any of `chars` appears outside parens, brackets and
+    quoted strings -- the same nesting rules as _split_top_commas, so a
+    quoted attribute value containing spaces or combinator characters
+    (':is(a[title="x y"])') never reads as a combinator."""
     depth = 0
+    quote = None
     for ch in text:
-        if ch == "(":
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif depth == 0 and ch in chars:
             return True

@@ -151,7 +151,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     tokenization, wired for spark-submit.
 
     Writes the curated documents to `output_dir` (and, when packing is
-    requested, the (doc -> sequence) assignment to
+    requested, the (doc -> sequence) assignment -- encoder token counts
+    + EOD, the packing that exactly describes the buffers -- to
     `output_dir + "_packed"` PLUS the loader-ready token buffers --
     token_ids arrays with EOD separators, one row per sequence -- to
     `output_dir + "_tokens"`; vocab_path selects the BPE vocabulary
@@ -171,7 +172,7 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     from .operators.decontam import remove_contaminated
     from .operators.packing import (
         materialize_packed_sequences,
-        pack_sequences,
+        pack_assignment_with_eod,
     )
     from .operators.pii import redact_pii
     from .operators.textstats import lang_id_col, quality_cols
@@ -223,11 +224,18 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         mixed.write.mode("overwrite").parquet(output_dir + "_mixed")
         out = spark.read.parquet(output_dir + "_mixed")
     if pack_budget:
-        pack_sequences(out, pack_budget, n_shards=n_shards).write.mode(
-            "overwrite"
-        ).parquet(output_dir + "_packed")
-        materialize_packed_sequences(
+        # ONE packing run describes both sinks: the assignment is
+        # written, re-read, and fed to the buffer materialization, so
+        # (shard, seq_no, offset) in _packed indexes exactly into the
+        # token streams in _tokens (two independent packings would
+        # drift: word counts vs encoder counts + EOD)
+        pack_assignment_with_eod(
             out, pack_budget, n_shards=n_shards, vocab_path=vocab_path
+        ).write.mode("overwrite").parquet(output_dir + "_packed")
+        assignment = spark.read.parquet(output_dir + "_packed")
+        materialize_packed_sequences(
+            out, pack_budget, n_shards=n_shards, vocab_path=vocab_path,
+            assignment=assignment,
         ).write.mode("overwrite").parquet(output_dir + "_tokens")
 
     metrics = {}

@@ -461,17 +461,45 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
 
 
+def _delete_hadoop_path(spark, path):
+    """Best-effort recursive delete through the Hadoop FileSystem API
+    (works for file://, hdfs://, s3a:// alike)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:  # cleanup must never fail the job
+        pass
+
+
 def _iteration_checkpointer(df, checkpoint_dir):
     """Per-iteration lineage cut for fixpoint loops. Default:
     localCheckpoint() -- executor-local blocks, fast, but lost on
     executor failure (at 100x a lost executor mid-iteration kills the
     job with no lineage to recompute from). With `checkpoint_dir`:
-    reliable checkpoint() against that directory, the production form
-    on a real cluster (point it at HDFS/S3)."""
-    if checkpoint_dir:
-        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        return lambda frame: frame.checkpoint(eager=True)
-    return lambda frame: frame.localCheckpoint()
+    each cut writes parquet to `checkpoint_dir/iter-N` on that (HDFS/
+    S3-capable) storage and reads it back -- a true reliable cut with
+    EXPLICIT retention: generation N-2 is deleted as N lands (N-1 must
+    survive because every fixpoint round still compares the new frame
+    against the previous one), so checkpoint storage is bounded at two
+    generations instead of growing by one corpus-sized table per round
+    (DataFrame.checkpoint never cleans superseded data by default)."""
+    if not checkpoint_dir:
+        return lambda frame: frame.localCheckpoint()
+    spark = df.sparkSession
+    state = {"gen": 0}
+
+    def reliable_cut(frame):
+        gen = state["gen"]
+        state["gen"] = gen + 1
+        path = f"{checkpoint_dir}/iter-{gen:05d}"
+        frame.write.mode("overwrite").parquet(path)
+        if gen >= 2:
+            _delete_hadoop_path(spark, f"{checkpoint_dir}/iter-{gen - 2:05d}")
+        return spark.read.parquet(path)
+
+    return reliable_cut
 
 
 def connected_components(pairs_df, id_a="id_a", id_b="id_b",

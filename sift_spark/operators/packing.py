@@ -168,10 +168,34 @@ def _encoder_for(vocab_path, portable_hash):
     return span_ids
 
 
+def pack_assignment_with_eod(docs_df, budget, n_shards=64, id_col="doc_id",
+                             text_col="text", vocab_path=None,
+                             portable_hash=False):
+    """The (doc -> shard, seq_no, offset) assignment that DESCRIBES the
+    buffers :func:`materialize_packed_sequences` emits: token counts
+    come from the same encoder (+1 for the EOD separator), unlike
+    :func:`pack_sequences`'s default whitespace word counts. Write this
+    next to the buffers so consumers can join offsets against token
+    streams without drift."""
+    encode = _encoder_for(vocab_path, portable_hash)
+
+    @F.pandas_udf(T.LongType())
+    def n_with_eod(text: pd.Series) -> pd.Series:
+        return text.map(lambda value: len(encode(value)) + 1)
+
+    counted = docs_df.select(
+        F.col(id_col), F.col(text_col).alias("_text")
+    ).withColumn("_n_plus_eod", n_with_eod(F.col("_text")))
+    return pack_sequences(
+        counted, budget, n_shards, id_col=id_col,
+        tokens_col="_n_plus_eod", portable_hash=portable_hash,
+    )
+
+
 def materialize_packed_sequences(docs_df, budget, n_shards=64,
                                  id_col="doc_id", text_col="text",
                                  eod_id=0, vocab_path=None,
-                                 portable_hash=False):
+                                 portable_hash=False, assignment=None):
     """Loader-ready packed sequences: (shard, seq_no,
     token_ids array<long>, n_docs, n_tokens, oversized) -- the actual
     token buffers a training data loader consumes, materialized from
@@ -197,24 +221,24 @@ def materialize_packed_sequences(docs_df, budget, n_shards=64,
     ids, both reproducible by a SQL oracle (driver-gate twin);
     production keeps xxhash64 shards and BPE ids (vocab_path ->
     tiktoken-format ranks; see _encoder_for for the no-vocab
-    fallback)."""
+    fallback).
+
+    assignment: a precomputed :func:`pack_assignment_with_eod` frame
+    (possibly re-read from a sink) -- pass it when the assignment is
+    ALSO being persisted, so the written assignment and the emitted
+    buffers are the same packing by construction instead of two
+    independent runs."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     encode = _encoder_for(vocab_path, portable_hash)
-
-    @F.pandas_udf(T.LongType())
-    def n_with_eod(text: pd.Series) -> pd.Series:
-        return text.map(lambda value: len(encode(value)) + 1)
-
-    counted = docs_df.select(
-        F.col(id_col), F.col(text_col).alias("_text")
-    ).withColumn("_n_plus_eod", n_with_eod(F.col("_text")))
-    assignment = pack_sequences(
-        counted, budget, n_shards, id_col=id_col,
-        tokens_col="_n_plus_eod", portable_hash=portable_hash,
-    )
-    joined = counted.select(
-        F.col(id_col).cast("long").alias("doc_id"), "_text"
+    if assignment is None:
+        assignment = pack_assignment_with_eod(
+            docs_df, budget, n_shards, id_col=id_col, text_col=text_col,
+            vocab_path=vocab_path, portable_hash=portable_hash,
+        )
+    joined = docs_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
     ).join(assignment.select("doc_id", "shard", "seq_no"), "doc_id")
 
     def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:

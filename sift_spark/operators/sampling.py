@@ -88,11 +88,32 @@ def temperature_sampling_rates(df, stratum_col, alpha=0.5):
 
 
 def temperature_resample(df, stratum_col, key_col, alpha=0.5, seed=0):
-    """Temperature-rebalanced corpus: stratified hash sampling with the
+    """Temperature-rebalanced corpus: hash-threshold sampling with the
     rates from :func:`temperature_sampling_rates`. Deterministic,
     partition-layout invariant, append-stable -- the mixing step between
-    per-source curation and packing."""
+    per-source curation and packing.
+
+    Thresholds are applied through a BROADCAST JOIN of a per-stratum
+    rates table, not stratified_hash_sample's nested CASE WHEN chain:
+    the stratum here can be high-cardinality (a url_host column has
+    ~100k values on a crawl), and a 100k-deep when/otherwise tree blows
+    up Catalyst analysis, while a broadcast of 100k tiny rows is flat.
+    Thresholds use the same int(rate * 2^32) truncation as
+    stratified_hash_sample, so membership matches it exactly; rows
+    whose stratum has no rate (null or unseen) drop, as with the
+    default_rate=0 chain."""
     rates = temperature_sampling_rates(df, stratum_col, alpha)
-    return stratified_hash_sample(
-        df, rates, stratum_col=stratum_col, key_col=key_col, seed=seed
+    spark = df.sparkSession
+    if not rates:
+        return df.filter(F.lit(False))
+    rates_df = spark.createDataFrame(
+        [(value, int(rate * _BUCKETS)) for value, rate in rates.items()],
+        ["_stratum", "_threshold"],
+    )
+    joined = df.join(
+        F.broadcast(rates_df), df[stratum_col] == rates_df["_stratum"]
+    )
+    return (
+        joined.filter(sample_bucket_col(key_col, seed) < F.col("_threshold"))
+        .drop("_stratum", "_threshold")
     )

@@ -138,27 +138,28 @@ def ivf_build(emb_df, n_clusters=16, seed=42, id_col="vec_id",
 def ivf_save(index, path):
     """Persist an ivf_build index for reuse across jobs: the assignment
     table as parquet (distributed write) plus the centroid list as a
-    small JSON sidecar. The assignment is corpus-sized -- parquet, never
-    the driver; the centers are n_clusters small vectors -- driver-side
-    JSON is the right place."""
+    one-row JSON text file. BOTH halves go through Spark writers, so
+    any Hadoop-capable URI (hdfs://, s3a://, file://) works -- a
+    driver-side open() would silently restrict the sidecar to the
+    driver's local filesystem and leave a half-written index on object
+    stores."""
     import json
-    import os
 
     assigned, centers = index
-    assigned.write.mode("overwrite").parquet(os.path.join(path, "assigned"))
-    with open(os.path.join(path, "centers.json"), "w") as fh:
-        json.dump(centers, fh)
+    assigned.write.mode("overwrite").parquet(path + "/assigned")
+    spark = assigned.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(centers),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(path + "/centers")
 
 
 def ivf_load(spark, path):
     """Load an index persisted by :func:`ivf_save`; returns the
     (assigned_df, centers) pair ivf_cosine_topk consumes via `index=`."""
     import json
-    import os
 
-    assigned = spark.read.parquet(os.path.join(path, "assigned"))
-    with open(os.path.join(path, "centers.json")) as fh:
-        centers = json.load(fh)
+    assigned = spark.read.parquet(path + "/assigned")
+    centers = json.loads(spark.read.text(path + "/centers").first()["value"])
     return assigned, centers
 
 

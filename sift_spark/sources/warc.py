@@ -122,6 +122,8 @@ def iter_warc_pages(data, warc_file=""):
     so peak memory is one record, not the decompressed segment --
     callers that batch (read_warc) hold at most one output batch on
     top of that."""
+    import zlib
+
     if data[:2] == b"\x1f\x8b":
         stream = gzip.GzipFile(fileobj=io.BytesIO(data))
     else:
@@ -141,7 +143,10 @@ def iter_warc_pages(data, warc_file=""):
                 "warc_file": warc_file,
                 "error": None,
             }
-    except (ValueError, EOFError, OSError) as exc:
+    except (ValueError, EOFError, OSError, zlib.error) as exc:
+        # zlib.error: valid gzip header but corrupt deflate bytes --
+        # raised from the reader mid-record, must become an error row
+        # like every other framing failure
         yield {
             "url": None,
             "warc_ts": None,

@@ -1290,6 +1290,16 @@ def test_curation_job_end_to_end(spark, tmp_path):
     assert sum(r["token_ids"].count(0) for r in tokens) == 1  # one EOD
     assert all(r["oversized"] or r["n_tokens"] <= 32 for r in tokens)
 
+    # the written assignment DESCRIBES the buffers: per-sequence token
+    # totals in _packed equal the buffer lengths in _tokens (one
+    # packing run feeds both sinks)
+    packed_totals = {}
+    for r in packed:
+        key = (r["shard"], r["seq_no"])
+        packed_totals[key] = packed_totals.get(key, 0) + r["n_tokens"]
+    assert packed_totals == {
+        (r["shard"], r["seq_no"]): r["n_tokens"] for r in tokens}
+
 
 def test_pii_scrub_to_zero_property():
     """Property: after redaction, the profile counts are zero for every

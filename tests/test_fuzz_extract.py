@@ -55,7 +55,12 @@ def test_warc_parse_never_raises_on_garbage(raw):
 
     from sift_spark.sources.warc import iter_warc_pages
 
-    for data in (raw, b"\x1f\x8b" + raw, gzip.compress(raw)[:-3]):
+    # valid gzip magic+method header followed by garbage deflate bytes
+    # raises zlib.error from the reader, not OSError -- the case the
+    # round-5 review caught
+    bad_deflate = bytes([0x1F, 0x8B, 0x08, 0, 0, 0, 0, 0, 0, 255]) + raw
+    for data in (raw, b"\x1f\x8b" + raw, gzip.compress(raw)[:-3],
+                 bad_deflate):
         for page in iter_warc_pages(data, "fuzz"):
             assert page["error"] is None or isinstance(page["error"], str)
 
