@@ -225,10 +225,12 @@ class _Simple:
 
 def _contains_top_level(text, chars):
     """True when any of `chars` appears outside parens, brackets and
-    quoted strings -- the same nesting rules as _split_top_commas, so a
-    quoted attribute value containing spaces or combinator characters
-    (':is(a[title="x y"])') never reads as a combinator."""
-    depth = 0
+    quoted strings -- the same nesting rules as _split_top_commas
+    (paren and bracket depths tracked SEPARATELY, so a stray ']' inside
+    parens cannot cancel the paren depth), so a quoted attribute value
+    containing spaces or combinator characters (':is(a[title="x y"])')
+    never reads as a combinator."""
+    depth_paren = depth_bracket = 0
     quote = None
     for ch in text:
         if quote is not None:
@@ -236,11 +238,15 @@ def _contains_top_level(text, chars):
                 quote = None
         elif ch in "\"'":
             quote = ch
-        elif ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif depth == 0 and ch in chars:
+        elif ch == "(":
+            depth_paren += 1
+        elif ch == ")":
+            depth_paren -= 1
+        elif ch == "[":
+            depth_bracket += 1
+        elif ch == "]":
+            depth_bracket -= 1
+        elif depth_paren == 0 and depth_bracket == 0 and ch in chars:
             return True
     return False
 

@@ -463,14 +463,24 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
 
 def _delete_hadoop_path(spark, path):
     """Best-effort recursive delete through the Hadoop FileSystem API
-    (works for file://, hdfs://, s3a:// alike)."""
+    (works for file://, hdfs://, s3a:// alike). Failures never fail the
+    job but are LOGGED: a silently-failing delete (e.g. a job role with
+    write-but-not-delete on the checkpoint bucket) would quietly regrow
+    the unbounded per-round accumulation the rotation exists to
+    prevent."""
+    import logging
+
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
-    except Exception:  # cleanup must never fail the job
-        pass
+    except Exception as exc:  # cleanup must never fail the job
+        logging.getLogger(__name__).warning(
+            "checkpoint cleanup failed for %s: %s -- superseded "
+            "generations will accumulate until deletes succeed",
+            path, exc,
+        )
 
 
 def _iteration_checkpointer(df, checkpoint_dir):
@@ -478,27 +488,42 @@ def _iteration_checkpointer(df, checkpoint_dir):
     localCheckpoint() -- executor-local blocks, fast, but lost on
     executor failure (at 100x a lost executor mid-iteration kills the
     job with no lineage to recompute from). With `checkpoint_dir`:
-    each cut writes parquet to `checkpoint_dir/iter-N` on that (HDFS/
-    S3-capable) storage and reads it back -- a true reliable cut with
-    EXPLICIT retention: generation N-2 is deleted as N lands (N-1 must
-    survive because every fixpoint round still compares the new frame
-    against the previous one), so checkpoint storage is bounded at two
-    generations instead of growing by one corpus-sized table per round
-    (DataFrame.checkpoint never cleans superseded data by default)."""
+    each cut writes parquet to `checkpoint_dir/<run-uuid>/iter-N` on
+    that (HDFS/S3-capable) storage and reads it back -- a true reliable
+    cut with EXPLICIT retention: generation N-2 is deleted as N lands
+    (N-1 must survive because every fixpoint round still compares the
+    new frame against the previous one), so checkpoint storage is
+    bounded at two generations instead of growing by one corpus-sized
+    table per round (DataFrame.checkpoint never cleans superseded data
+    by default).
+
+    The per-invocation uuid subdirectory isolates concurrent or
+    repeated runs sharing one checkpoint_dir (the same guarantee
+    checkpoint()'s per-context subdir gave): without it, a second run
+    would overwrite the files still backing the first run's lazy
+    result. The LAST two generations back the returned result and
+    intentionally survive; callers clean the run directory (the
+    returned callable exposes it as `.run_dir`) once results are
+    consumed or persisted -- crashed runs likewise leave their
+    directory for the caller's retention policy."""
     if not checkpoint_dir:
         return lambda frame: frame.localCheckpoint()
+    import uuid
+
     spark = df.sparkSession
+    run_dir = f"{checkpoint_dir}/run-{uuid.uuid4().hex[:12]}"
     state = {"gen": 0}
 
     def reliable_cut(frame):
         gen = state["gen"]
         state["gen"] = gen + 1
-        path = f"{checkpoint_dir}/iter-{gen:05d}"
+        path = f"{run_dir}/iter-{gen:05d}"
         frame.write.mode("overwrite").parquet(path)
         if gen >= 2:
-            _delete_hadoop_path(spark, f"{checkpoint_dir}/iter-{gen - 2:05d}")
+            _delete_hadoop_path(spark, f"{run_dir}/iter-{gen - 2:05d}")
         return spark.read.parquet(path)
 
+    reliable_cut.run_dir = run_dir
     return reliable_cut
 
 
@@ -557,7 +582,13 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
         else:
             # diameter/skew defeated min-label propagation: switch to the
             # O(log^2 n)-round alternating star algorithm instead of
-            # giving up (Kiveris et al., SoCC'14)
+            # giving up (Kiveris et al., SoCC'14). The star result is
+            # derived from pairs_df, not from this phase's labels, so
+            # this phase's surviving checkpoint generations are dead --
+            # delete its run directory before delegating (the star call
+            # gets its own isolated run dir).
+            if checkpoint_dir:
+                _delete_hadoop_path(pairs_df.sparkSession, ckpt.run_dir)
             return connected_components_star(pairs_df, id_a=id_a,
                                              id_b=id_b,
                                              checkpoint_dir=checkpoint_dir)

@@ -110,10 +110,12 @@ def temperature_resample(df, stratum_col, key_col, alpha=0.5, seed=0):
         [(value, int(rate * _BUCKETS)) for value, rate in rates.items()],
         ["_stratum", "_threshold"],
     )
+    # qualified references + select(df["*"]) keep the caller's schema
+    # exact even when df itself has a _stratum/_threshold column -- no
+    # reserved names, no blind drop
     joined = df.join(
         F.broadcast(rates_df), df[stratum_col] == rates_df["_stratum"]
     )
-    return (
-        joined.filter(sample_bucket_col(key_col, seed) < F.col("_threshold"))
-        .drop("_stratum", "_threshold")
-    )
+    return joined.filter(
+        sample_bucket_col(key_col, seed) < rates_df["_threshold"]
+    ).select(df["*"])

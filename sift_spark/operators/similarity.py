@@ -151,15 +151,32 @@ def ivf_save(index, path):
     spark.createDataFrame(
         [(json.dumps(centers),)], "value string"
     ).coalesce(1).write.mode("overwrite").text(path + "/centers")
+    # drop a stale driver-local centers.json from the pre-round-5
+    # format so old readers cannot load outdated centers next to the
+    # fresh index (best-effort; the file only exists locally)
+    import contextlib
+    import os
+
+    with contextlib.suppress(OSError):
+        os.remove(os.path.join(path, "centers.json"))
 
 
 def ivf_load(spark, path):
     """Load an index persisted by :func:`ivf_save`; returns the
-    (assigned_df, centers) pair ivf_cosine_topk consumes via `index=`."""
+    (assigned_df, centers) pair ivf_cosine_topk consumes via `index=`.
+    Falls back to the earlier driver-local centers.json sidecar format
+    so indexes saved before the Spark-IO sidecar remain loadable."""
     import json
+    import os
 
     assigned = spark.read.parquet(path + "/assigned")
-    centers = json.loads(spark.read.text(path + "/centers").first()["value"])
+    try:
+        centers = json.loads(
+            spark.read.text(path + "/centers").first()["value"]
+        )
+    except Exception:
+        with open(os.path.join(path, "centers.json")) as fh:
+            centers = json.load(fh)
     return assigned, centers
 
 

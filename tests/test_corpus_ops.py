@@ -574,6 +574,17 @@ def test_ivf_save_load_roundtrip(spark, embeddings, tmp_path):
         embeddings, q, k=5, nprobe=8, index=loaded).collect()]
     assert got == want
 
+    # backward compat: an index saved by the earlier driver-local
+    # sidecar format (centers.json, no centers/ dir) still loads
+    import json
+    import shutil
+
+    old = tmp_path / "ivf_old"
+    shutil.copytree(tmp_path / "ivf_index" / "assigned", old / "assigned")
+    (old / "centers.json").write_text(json.dumps(index[1]))
+    legacy = ivf_load(spark, str(old))
+    assert legacy[1] == index[1]
+
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the per-iteration lineage cut from
@@ -595,6 +606,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
                for r in fn(pairs, checkpoint_dir=ckpt_dir).collect()}
         assert got == want, sub
         assert any((tmp_path / sub).rglob("*")), sub  # data written
+
+    # invocation isolation in a SHARED directory: each run writes under
+    # its own run-uuid subdir, so a second run must not clobber the
+    # parquet still backing the first run's lazy result
+    shared = str(tmp_path / "shared")
+    pairs_b = spark.createDataFrame([(5, 6)], ["id_a", "id_b"])
+    r1 = connected_components(pairs, checkpoint_dir=shared)
+    r2 = connected_components(pairs_b, checkpoint_dir=shared)
+    assert {r["doc_id"]: r["component_id"] for r in r2.collect()} == \
+        {5: 5, 6: 5}
+    assert {r["doc_id"]: r["component_id"] for r in r1.collect()} == want
+    assert len(list((tmp_path / "shared").glob("run-*"))) == 2
 
 
 def test_connected_components_clusters_pairs(spark):
@@ -742,6 +765,15 @@ def test_temperature_resample(spark):
     # alpha=0 equalizes expected stratum sizes: en rate = 400/3600
     flat = temperature_sampling_rates(df, "lang", alpha=0.0)
     assert abs(flat["en"] - 400 / 3600) < 1e-12
+
+    # no reserved column names: a caller frame already carrying
+    # _stratum/_threshold keeps its schema and values intact
+    tricky = df.withColumn("_stratum", F.lit("keep")) \
+               .withColumn("_threshold", F.lit(7))
+    out2 = temperature_resample(tricky, "lang", "doc_id", alpha=0.5)
+    assert out2.columns == tricky.columns
+    row = out2.first()
+    assert row["_stratum"] == "keep" and row["_threshold"] == 7
 
 
 def test_kmv_distinct_estimate(spark):
