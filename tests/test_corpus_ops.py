@@ -1239,6 +1239,40 @@ def test_materialize_packed_sequences_portable(spark):
     assert again == emitted
 
 
+def test_assignment_offsets_index_into_buffers(spark):
+    """The pack_assignment_with_eod offsets are exact buffer positions:
+    for every document, buffer[offset] is its first token id and
+    buffer[offset + n_tokens - 1] is its EOD -- the join contract a
+    loader relies on when reading _packed against _tokens."""
+    import hashlib
+
+    from sift_spark.operators.packing import (
+        materialize_packed_sequences,
+        pack_assignment_with_eod,
+    )
+
+    texts = {i: "w%d " % i * (3 + i % 9) for i in range(30)}
+    docs = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    assign = pack_assignment_with_eod(
+        docs, budget=20, n_shards=3, portable_hash=True).collect()
+    buffers = {
+        (r["shard"], r["seq_no"]): r["token_ids"]
+        for r in materialize_packed_sequences(
+            docs, budget=20, n_shards=3, portable_hash=True,
+        ).collect()
+    }
+
+    def wid(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+    for a in assign:
+        buf = buffers[(a["shard"], a["seq_no"])]
+        words = texts[a["doc_id"]].split()
+        assert a["n_tokens"] == len(words) + 1
+        span = buf[a["offset"]: a["offset"] + a["n_tokens"]]
+        assert span == [wid(w) for w in words] + [0], a["doc_id"]
+
+
 def test_materialize_packed_sequences_bpe_vocab(spark):
     """Production path with a real tiktoken-format vocab: buffers carry
     the BPE encoder's ids and round-trip through its decoder."""
