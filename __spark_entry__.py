@@ -1025,19 +1025,22 @@ def _scaled_sum(col, scale):
     return F.sum(F.round(col * scale).cast("long")) / float(scale)
 
 
-def _q_tpch_pricing_summary(spark, sf_dir):
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _scaled_sum(F.col("l_quantity"), 100).alias("sum_qty"),
-            _scaled_sum(F.col("l_extendedprice"), 100).alias("sum_base_price"),
-            _scaled_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-            ).alias("sum_disc_price"),
-            F.count("*").alias("count_order"),
-        )
+def _q_span_dedup(spark, sf_dir):
+    """Exact duplicated-span removal (dedup.duplicated_span_dedup, Lee
+    et al. ACL'22 ExactSubstr, fixed-k adaptation): every word covered
+    by a 20-word window occurring >= 2 times corpus-wide is cut from
+    all but the canonical first occurrence. The oracle mirrors the
+    window hashing, single-bigint owner packing and coverage expansion
+    verbatim; gate row carries md5(text_clean) + word/drop counts.
+    (Folded in for tpch_pricing_summary under the 50-row gate cap.)"""
+    from sift_spark.operators.dedup import duplicated_span_dedup
+
+    out = duplicated_span_dedup(_docs(spark, sf_dir), k=20)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+        "n_words",
+        "n_dropped",
     )
 
 
@@ -1144,7 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-source combination (sift.go:107-130)
         "combine_sources": _q_combine_sources,
         # general engine sanity (joins/aggs)
-        "tpch_pricing_summary": _q_tpch_pricing_summary,
+        "span_dedup": _q_span_dedup,
         "pack_materialize": _q_pack_materialize,
         "orders_by_nation": _q_orders_by_nation,
     }
@@ -1477,6 +1480,64 @@ _PACK_MATERIALIZE_SQL = r"""
            md5(string_agg(s.id_str, ',' ORDER BY p.doc_id)) AS ids_md5
     FROM packed p JOIN sized s ON p.doc_id = s.doc_id
     GROUP BY p.shard, p.seq_no
+"""
+
+
+_SPAN_DEDUP_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[ \t\r\n\f]+'),
+                           w -> w <> '') AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    wins AS (
+        SELECT doc_id, p AS pos,
+               md5(array_to_string(words[p+1:p+20], ' ')) AS whash
+        FROM (
+            SELECT doc_id, words,
+                   unnest(generate_series(0, len(words) - 20)) AS p
+            FROM base WHERE len(words) >= 20
+        )
+    ),
+    freq AS (
+        SELECT whash,
+               min(doc_id * 1073741824 + pos) AS owner_key
+        FROM wins GROUP BY whash HAVING count(*) >= 2
+    ),
+    removed AS (
+        SELECT w.doc_id, w.pos
+        FROM wins w JOIN freq f ON w.whash = f.whash
+        WHERE w.doc_id * 1073741824 + w.pos <> f.owner_key
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, idx
+        FROM (SELECT doc_id,
+                     unnest(generate_series(pos, pos + 19)) AS idx
+              FROM removed)
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS idx, words[i] AS word
+        FROM (SELECT doc_id, words,
+                     unnest(generate_series(1, len(words))) AS i
+              FROM base)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.idx, t.word
+        FROM toks t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.idx = c.idx
+        WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(word, ' ' ORDER BY idx) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           md5(coalesce(a.text_clean, '')) AS clean_md5,
+           CAST(len(b.words) AS BIGINT) AS n_words,
+           CAST(len(b.words) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_dropped
+    FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
 """
 
 
@@ -2335,19 +2396,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL AND trim(text) <> ''
             GROUP BY source
         """,
-        "tpch_pricing_summary": """
-            SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
-                       AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
-                       AS sum_base_price,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
-                       AS BIGINT)) / 10000.0 AS sum_disc_price,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= DATE '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
-        """,
+        "span_dedup": _SPAN_DEDUP_SQL,
         "pack_materialize": _PACK_MATERIALIZE_SQL,
         "orders_by_nation": """
             SELECT n_name, count(*) AS n_orders,

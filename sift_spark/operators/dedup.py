@@ -851,6 +851,115 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
     )
 
 
+# ---- exact duplicated-span removal (Lee et al. 2022) -------------------------------
+
+
+def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
+                          text_col="text"):
+    """Exact duplicated-substring removal at word granularity (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL'22, ExactSubstr): every word covered by a k-word window whose
+    exact content occurs >= `min_count` times in the corpus is removed
+    from every occurrence EXCEPT the canonical first one (minimum
+    (doc_id, position)), and the survivors reassemble in order -- the
+    span-level middle ground between document near-dup (minhash) and
+    line/paragraph boilerplate dedup, catching long verbatim quotes,
+    licence blocks and templated passages that cross line boundaries.
+
+    The reference paper builds a corpus suffix array; the Spark-native
+    equi-join form used here trades its generality (arbitrary-length
+    matches) for fixed-k windows, which is the standard distributed
+    adaptation: every stage is a narrow transform or an equi-join on a
+    16-byte window hash.
+
+    Plan: native sliding window hashes (transform over sequence --
+    no UDF) -> posexplode -> hash-frequency agg carrying the canonical
+    owner as ONE bigint (doc_id * 2^30 + pos packs the order; pos <
+    2^30) -> non-owner occurrences explode to covered word indices
+    (duplicated spans only -- rare by construction, so the k-times
+    blowup applies to a tiny subset) -> anti-join against the word
+    table -> order-stable reassembly (the line-dedup pattern). Null
+    texts pass through with text_clean=null; docs shorter than k words
+    have no windows and pass through intact.
+
+    Returns (id, text_clean, n_words, n_dropped)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    null_rows = docs_df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("text_clean"),
+        F.lit(0).cast("long").alias("n_words"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    words_col = F.filter(
+        F.split(F.col(text_col), r"[ \t\r\n\f]+"), lambda w: w != ""
+    )
+    base = docs_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), words_col.alias("words")
+    )
+    n_words = F.size("words")
+    window_hashes = F.when(
+        n_words >= k,
+        F.transform(
+            F.sequence(F.lit(0), n_words - k),
+            lambda p: F.md5(
+                F.array_join(F.slice("words", p + 1, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(window_hashes).alias("pos", "whash"),
+    )
+    order_key = (F.col(id_col).cast("long") * F.lit(1 << 30)
+                 + F.col("pos"))
+    freq = (
+        wins.groupBy("whash")
+        .agg(
+            F.count("*").alias("_n_occ"),
+            F.min(order_key).alias("_owner_key"),
+        )
+        .filter(F.col("_n_occ") >= min_count)
+    )
+    removed = (
+        wins.join(freq, "whash")
+        .filter(order_key != F.col("_owner_key"))
+        .select(F.col(id_col), F.col("pos"))
+    )
+    covered = removed.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+        ).alias("idx"),
+    ).distinct()
+    toks = base.select(
+        F.col(id_col), F.posexplode("words").alias("idx", "word")
+    )
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    out = (
+        base.select(F.col(id_col), n_words.cast("long").alias("n_words"))
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_words",
+            (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long").alias("n_dropped"),
+        )
+    )
+    return out.unionByName(null_rows)
+
+
 # ---- corpus-level line dedup (CCNet-style) -----------------------------------------
 
 

@@ -1651,6 +1651,48 @@ def test_warc_date_variable_fraction_digits(spark, tmp_path):
         assert (ts.year, ts.hour, ts.minute, ts.second) == (2024, 1, 2, 3)
 
 
+def test_duplicated_span_dedup(spark):
+    """ExactSubstr-style span removal: a verbatim 25-word passage
+    shared by two docs is cut from the non-canonical occurrence only
+    (boundary windows crossing into differing prose don't match, so
+    exactly the shared words go); unrelated and short docs pass
+    untouched; null text passes through."""
+    from sift_spark.operators.dedup import duplicated_span_dedup
+
+    shared = " ".join(f"quote{i}" for i in range(25))
+    d1 = f"alpha beta gamma {shared} delta epsilon"
+    d2 = f"one two three four five {shared} six seven"
+    d3 = " ".join(f"unrelated{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, "short doc"), (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicated_span_dedup(docs, k=10).collect()}
+    # doc 1 owns the passage (min (doc, pos)) and keeps everything
+    assert out[1]["text_clean"] == d1 and out[1]["n_dropped"] == 0
+    # doc 2 loses exactly the 25 shared words
+    assert out[2]["text_clean"] == "one two three four five six seven"
+    assert out[2]["n_dropped"] == 25
+    assert out[2]["n_words"] == 32
+    assert out[3]["n_dropped"] == 0 and out[3]["text_clean"] == d3
+    assert out[4]["text_clean"] == "short doc"  # < k words, no windows
+    assert out[5]["text_clean"] is None and out[5]["n_words"] == 0
+
+    # min_count above the occurrence count disables removal
+    loose = {r["doc_id"]: r["n_dropped"] for r in
+             duplicated_span_dedup(docs, k=10, min_count=3).collect()}
+    assert all(v == 0 for v in loose.values())
+
+    # WITHIN-doc repetition is also deduplicated (ExactSubstr treats
+    # all occurrences alike): a period-3 text keeps one period
+    rep = ("spam ham eggs " * 8).strip()
+    rep_docs = spark.createDataFrame([(9, rep)],
+                                     "doc_id long, text string")
+    row = duplicated_span_dedup(rep_docs, k=6).first()
+    assert row["text_clean"] == "spam ham eggs"
+    assert row["n_dropped"] == 21 and row["n_words"] == 24
+
+
 def test_paragraph_frequency_dedup(spark):
     """sep='\\n\\n' switches the CCNet frequency unit from lines to
     paragraphs: a boilerplate paragraph (with internal newlines) is
