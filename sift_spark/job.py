@@ -141,7 +141,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      min_quality=0.5, redact=False, dedup=True,
                      benchmark_df=None, ngram=13, pack_budget=0,
                      n_shards=64, vocab_path=None,
-                     temperature_stratum=None, temperature_alpha=0.5):
+                     temperature_stratum=None, temperature_alpha=0.5,
+                     span_k=0):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -168,7 +169,7 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     as None rather than crashing the job."""
     from pyspark.sql import Observation
 
-    from .operators.dedup import dedup_exact
+    from .operators.dedup import dedup_exact, duplicated_span_dedup
     from .operators.decontam import remove_contaminated
     from .operators.packing import (
         materialize_packed_sequences,
@@ -202,6 +203,20 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # equi-join -- NO keeper broadcast (the keeper set is
         # corpus-sized at crawl scale)
         curated = observed(dedup_exact(curated), "after_dedup")
+    if span_k:
+        # ExactSubstr pass after whole-document dedup: cut verbatim
+        # duplicated k-word spans that survive it (cross-doc quotes,
+        # licence blocks, within-doc repetition). text is rebuilt from
+        # kept words (single-space joined -- the operator's contract)
+        spans = duplicated_span_dedup(curated, k=span_k).select(
+            "doc_id", F.col("text_clean").alias("_span_text")
+        )
+        curated = observed(
+            curated.drop("text")
+            .join(spans, "doc_id")
+            .withColumnRenamed("_span_text", "text"),
+            "after_span_dedup",
+        )
     if benchmark_df is not None:
         curated = observed(
             remove_contaminated(curated, benchmark_df, n=ngram),
@@ -264,6 +279,9 @@ def curate_main(argv=None):
                         help="token budget per training sequence "
                              "(0 = skip packing)")
     parser.add_argument("--shards", type=int, default=64)
+    parser.add_argument("--span-k", type=int, default=0,
+                        help="duplicated-span removal window in words "
+                             "(0 = off; ExactSubstr pass after dedup)")
     parser.add_argument("--mix-stratum", default=None,
                         help="column to temperature-rebalance on after "
                              "curation (e.g. source); off by default")
@@ -294,6 +312,7 @@ def curate_main(argv=None):
         vocab_path=args.vocab,
         temperature_stratum=args.mix_stratum,
         temperature_alpha=args.mix_alpha,
+        span_k=args.span_k,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")

@@ -1367,7 +1367,38 @@ def test_curation_job_end_to_end(spark, tmp_path):
         (r["shard"], r["seq_no"]): r["n_tokens"] for r in tokens}
 
 
-def test_pii_scrub_to_zero_property():
+def test_curation_span_dedup_stage(spark, tmp_path):
+    """--span-k wires ExactSubstr into the curate funnel: a verbatim
+    passage shared by two otherwise-distinct surviving docs is cut
+    from the non-canonical one."""
+    from sift_spark.job import run_curation_job
+
+    passage = " ".join(
+        ["the shared quoted passage continues with plenty of good and "
+         "natural english words that clear the quality gates easily"] * 2
+    ).split()
+    shared = " ".join(passage[:22])
+    base = ("this is a perfectly normal english document about the "
+            "weather and the mountains with commas, sentences and the "
+            "usual words flowing naturally. ")
+    rows = [
+        (1, base + shared + " and then some closing words here."),
+        (2, "another quite different english text about rivers and "
+            "valleys with the usual words and commas, naturally. "
+            + shared + " trailing remark."),
+    ]
+    input_dir = str(tmp_path / "span_in")
+    output_dir = str(tmp_path / "span_out")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(input_dir)
+    out, metrics = run_curation_job(
+        spark, spark.read.parquet(input_dir), output_dir,
+        dedup=True, span_k=10,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert shared in got[1]  # canonical occurrence kept
+    assert shared not in got[2]  # duplicated span cut
+    assert metrics.get("after_span_dedup") == 2
     """Property: after redaction, the profile counts are zero for every
     class -- over structured compositions of words, PII snippets and
     digit runs (pure-regex check; the Spark expressions use the same
