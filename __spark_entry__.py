@@ -1499,15 +1499,14 @@ _SPAN_DEDUP_SQL = r"""
             FROM base WHERE len(words) >= 20
         )
     ),
-    freq AS (
-        SELECT whash,
-               min(doc_id * 1073741824 + pos) AS owner_key
-        FROM wins GROUP BY whash HAVING count(*) >= 2
-    ),
     removed AS (
-        SELECT w.doc_id, w.pos
-        FROM wins w JOIN freq f ON w.whash = f.whash
-        WHERE w.doc_id * 1073741824 + w.pos <> f.owner_key
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   count(*) OVER (PARTITION BY whash) AS n_occ,
+                   row_number() OVER (PARTITION BY whash
+                                      ORDER BY doc_id, pos) AS rnk
+            FROM wins
+        ) WHERE n_occ >= 2 AND rnk > 1
     ),
     covered AS (
         SELECT DISTINCT doc_id, idx
@@ -1538,6 +1537,10 @@ _SPAN_DEDUP_SQL = r"""
            CAST(len(b.words) - coalesce(a.n_kept, 0) AS BIGINT)
                AS n_dropped
     FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+    UNION ALL
+    SELECT doc_id, NULL AS clean_md5, CAST(0 AS BIGINT) AS n_words,
+           CAST(0 AS BIGINT) AS n_dropped
+    FROM documents WHERE text IS NULL
 """
 
 

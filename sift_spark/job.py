@@ -203,16 +203,22 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # equi-join -- NO keeper broadcast (the keeper set is
         # corpus-sized at crawl scale)
         curated = observed(dedup_exact(curated), "after_dedup")
+    span_persisted = None
     if span_k:
         # ExactSubstr pass after whole-document dedup: cut verbatim
         # duplicated k-word spans that survive it (cross-doc quotes,
         # licence blocks, within-doc repetition). text is rebuilt from
-        # kept words (single-space joined -- the operator's contract)
-        spans = duplicated_span_dedup(curated, k=span_k).select(
+        # kept words (single-space joined -- the operator's contract).
+        # The span operator references `curated` on both sides of a
+        # self-join; persist it so the gates/redaction/dedup lineage
+        # evaluates ONCE instead of per branch (MEMORY_AND_DISK --
+        # spills rather than recomputes at corpus scale)
+        span_persisted = curated.persist()
+        spans = duplicated_span_dedup(span_persisted, k=span_k).select(
             "doc_id", F.col("text_clean").alias("_span_text")
         )
         curated = observed(
-            curated.drop("text")
+            span_persisted.drop("text")
             .join(spans, "doc_id")
             .withColumnRenamed("_span_text", "text"),
             "after_span_dedup",
@@ -223,6 +229,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             "after_decontam",
         )
     curated.write.mode("overwrite").parquet(output_dir)
+    if span_persisted is not None:
+        span_persisted.unpersist()
     out = spark.read.parquet(output_dir)
     if temperature_stratum:
         # corpus mixing between curation and packing: the rate

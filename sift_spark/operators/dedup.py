@@ -502,10 +502,11 @@ def _iteration_checkpointer(df, checkpoint_dir):
     checkpoint()'s per-context subdir gave): without it, a second run
     would overwrite the files still backing the first run's lazy
     result. The LAST two generations back the returned result and
-    intentionally survive; callers clean the run directory (the
-    returned callable exposes it as `.run_dir`) once results are
-    consumed or persisted -- crashed runs likewise leave their
-    directory for the caller's retention policy."""
+    intentionally survive; connected_components/_star surface the
+    directory on the returned DataFrame as `.checkpoint_run_dir`, and
+    :func:`clear_checkpoint_run` deletes it once results are consumed
+    or persisted -- crashed runs likewise leave their directory for
+    the caller's retention policy."""
     if not checkpoint_dir:
         return lambda frame: frame.localCheckpoint()
     import uuid
@@ -525,6 +526,17 @@ def _iteration_checkpointer(df, checkpoint_dir):
 
     reliable_cut.run_dir = run_dir
     return reliable_cut
+
+
+def clear_checkpoint_run(result_df):
+    """Delete the checkpoint run directory backing a reliable-checkpoint
+    connected-components result, AFTER the caller has collected or
+    persisted it (the final two parquet generations back the lazy
+    DataFrame until then). No-op for results produced without
+    checkpoint_dir."""
+    run_dir = getattr(result_df, "checkpoint_run_dir", None)
+    if run_dir:
+        _delete_hadoop_path(result_df.sparkSession, run_dir)
 
 
 def connected_components(pairs_df, id_a="id_a", id_b="id_b",
@@ -594,9 +606,12 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
                                              checkpoint_dir=checkpoint_dir)
     finally:
         edges.unpersist()
-    return labels.select(
+    result = labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
+    if checkpoint_dir:
+        result.checkpoint_run_dir = ckpt.run_dir
+    return result
 
 
 def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
@@ -711,9 +726,12 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
         all_nodes.join(labeled.select("node"), "node", "left_anti")
         .withColumn("comp", F.col("node"))
     )
-    return labeled.unionByName(self_labeled).select(
+    result = labeled.unionByName(self_labeled).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
+    if checkpoint_dir:
+        result.checkpoint_run_dir = ckpt.run_dir
+    return result
 
 
 # ---- simhash -----------------------------------------------------------------------
@@ -873,14 +891,16 @@ def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
     16-byte window hash.
 
     Plan: native sliding window hashes (transform over sequence --
-    no UDF) -> posexplode -> hash-frequency agg carrying the canonical
-    owner as ONE bigint (doc_id * 2^30 + pos packs the order; pos <
-    2^30) -> non-owner occurrences explode to covered word indices
-    (duplicated spans only -- rare by construction, so the k-times
-    blowup applies to a tiny subset) -> anti-join against the word
-    table -> order-stable reassembly (the line-dedup pattern). Null
-    texts pass through with text_clean=null; docs shorter than k words
-    have no windows and pass through intact.
+    no UDF) -> posexplode -> ONE shuffle on the window hash where
+    count() and row_number() over (whash order by doc_id, pos) mark
+    each occurrence's multiplicity and rank (no bigint key packing --
+    arbitrary 64-bit doc ids stay exact) -> non-owner occurrences
+    (rank > 1 in groups meeting min_count) explode to covered word
+    indices (duplicated spans only -- rare by construction, so the
+    k-times blowup applies to a tiny subset) -> anti-join against the
+    word table -> order-stable reassembly (the line-dedup pattern).
+    Null texts pass through with text_clean=null; docs shorter than k
+    words have no windows and pass through intact.
 
     Returns (id, text_clean, n_words, n_dropped)."""
     if k < 2:
@@ -911,19 +931,12 @@ def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
         F.col(id_col),
         F.posexplode(window_hashes).alias("pos", "whash"),
     )
-    order_key = (F.col(id_col).cast("long") * F.lit(1 << 30)
-                 + F.col("pos"))
-    freq = (
-        wins.groupBy("whash")
-        .agg(
-            F.count("*").alias("_n_occ"),
-            F.min(order_key).alias("_owner_key"),
-        )
-        .filter(F.col("_n_occ") >= min_count)
-    )
+    per_hash = Window.partitionBy("whash")
+    per_hash_order = per_hash.orderBy(F.col(id_col), F.col("pos"))
     removed = (
-        wins.join(freq, "whash")
-        .filter(order_key != F.col("_owner_key"))
+        wins.withColumn("_n_occ", F.count("*").over(per_hash))
+        .withColumn("_rank", F.row_number().over(per_hash_order))
+        .filter((F.col("_n_occ") >= min_count) & (F.col("_rank") > 1))
         .select(F.col(id_col), F.col("pos"))
     )
     covered = removed.select(

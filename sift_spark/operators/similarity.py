@@ -169,15 +169,20 @@ def ivf_load(spark, path):
     import json
     import os
 
+    from pyspark.errors import AnalysisException
+
     assigned = spark.read.parquet(path + "/assigned")
     try:
-        centers = json.loads(
-            spark.read.text(path + "/centers").first()["value"]
-        )
-    except Exception:
+        row = spark.read.text(path + "/centers").first()
+    except AnalysisException:
+        # only a MISSING new-format sidecar falls back to the legacy
+        # driver-local file; genuine read failures (permissions,
+        # transient IO, corrupt JSON) propagate with their real cause
         with open(os.path.join(path, "centers.json")) as fh:
-            centers = json.load(fh)
-    return assigned, centers
+            return assigned, json.load(fh)
+    if row is None:
+        raise ValueError(f"empty centers sidecar at {path}/centers")
+    return assigned, json.loads(row["value"])
 
 
 def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,

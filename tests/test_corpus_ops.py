@@ -619,6 +619,19 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert {r["doc_id"]: r["component_id"] for r in r1.collect()} == want
     assert len(list((tmp_path / "shared").glob("run-*"))) == 2
 
+    # explicit retention: after consuming a result, its run dir can be
+    # purged through the surfaced handle without touching the other's
+    from sift_spark.operators.dedup import clear_checkpoint_run
+
+    import os
+
+    assert os.path.isdir(r1.checkpoint_run_dir)
+    clear_checkpoint_run(r1)
+    assert not os.path.exists(r1.checkpoint_run_dir)
+    assert len(list((tmp_path / "shared").glob("run-*"))) == 1
+    assert {r["doc_id"]: r["component_id"] for r in r2.collect()} == \
+        {5: 5, 6: 5}  # the other run's result still readable
+
 
 def test_connected_components_clusters_pairs(spark):
     """Duplicate-cluster election: chains, a triangle and a lone pair all
@@ -1399,6 +1412,9 @@ def test_curation_span_dedup_stage(spark, tmp_path):
     assert shared in got[1]  # canonical occurrence kept
     assert shared not in got[2]  # duplicated span cut
     assert metrics.get("after_span_dedup") == 2
+
+
+def test_pii_scrub_to_zero_property():
     """Property: after redaction, the profile counts are zero for every
     class -- over structured compositions of words, PII snippets and
     digit runs (pure-regex check; the Spark expressions use the same
