@@ -1029,16 +1029,28 @@ def _q_span_dedup(spark, sf_dir):
     """Exact duplicated-span removal (dedup.duplicated_span_dedup, Lee
     et al. ACL'22 ExactSubstr, fixed-k adaptation): every word covered
     by a 20-word window occurring >= 2 times corpus-wide is cut from
-    all but the canonical first occurrence. The oracle mirrors the
-    window hashing, single-bigint owner packing and coverage expansion
-    verbatim; gate row carries md5(text_clean) + word/drop counts.
+    all but the canonical first occurrence (owner = count() +
+    row_number() over the window hash; default O(n) rolling-hash
+    windows with 8-byte long keys). The operator excises ONLY the
+    duplicated characters, preserving all other whitespace verbatim,
+    so the gate hashes the whitespace-NORMALIZED clean text -- exactly
+    the ' '-joined kept words the SQL oracle rebuilds; byte-level
+    whitespace preservation is pinned by exact-output units
+    (tests/test_corpus_ops.py). Word/drop counts stay exact.
     (Folded in for tpch_pricing_summary under the 50-row gate cap.)"""
     from sift_spark.operators.dedup import duplicated_span_dedup
 
     out = duplicated_span_dedup(_docs(spark, sf_dir), k=20)
+    norm_clean = F.array_join(
+        F.filter(
+            F.split(F.col("text_clean"), r"[ \t\r\n\f]+"),
+            lambda w: w != "",
+        ),
+        " ",
+    )
     return out.select(
         "doc_id",
-        F.md5(F.col("text_clean")).alias("clean_md5"),
+        F.md5(norm_clean).alias("clean_md5"),
         "n_words",
         "n_dropped",
     )

@@ -207,8 +207,9 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     if span_k:
         # ExactSubstr pass after whole-document dedup: cut verbatim
         # duplicated k-word spans that survive it (cross-doc quotes,
-        # licence blocks, within-doc repetition). text is rebuilt from
-        # kept words (single-space joined -- the operator's contract).
+        # licence blocks, within-doc repetition). Only the duplicated
+        # characters are excised -- untouched docs and all text outside
+        # the spans keep their original bytes (newlines, spacing).
         # The span operator references `curated` on both sides of a
         # self-join; persist it so the gates/redaction/dedup lineage
         # evaluates ONCE instead of per branch (MEMORY_AND_DISK --
@@ -289,7 +290,10 @@ def curate_main(argv=None):
     parser.add_argument("--shards", type=int, default=64)
     parser.add_argument("--span-k", type=int, default=0,
                         help="duplicated-span removal window in words "
-                             "(0 = off; ExactSubstr pass after dedup)")
+                             "(0 = off; ExactSubstr pass after dedup; "
+                             "cuts only the duplicated characters -- "
+                             "text outside the spans is preserved "
+                             "byte-for-byte)")
     parser.add_argument("--mix-stratum", default=None,
                         help="column to temperature-rebalance on after "
                              "curation (e.g. source); off by default")

@@ -41,13 +41,21 @@ def exact_duplicates(docs_df, id_col="doc_id", text_col="text"):
     Groups with n_dups > 1 are duplicate sets; keep_id = min id.
     Null-text rows (errored extractions) are NOT content and are
     excluded -- md5(null) is null and a null group would lump N distinct
-    failures into one fake duplicate set."""
+    failures into one fake duplicate set.
+
+    The shuffle key is the 16-byte unhex(md5) binary (VERDICT r5 #2:
+    half the bytes of the 32-char hex form on the corpus-sized
+    exchange); the OUTPUT column stays lowercase hex for oracle/tool
+    compatibility, re-encoded after the agg."""
     hashed = docs_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.md5(normalized_text_col(F.col(text_col))).alias("content_hash"),
+        F.unhex(F.md5(normalized_text_col(F.col(text_col))))
+        .alias("_chash"),
     )
-    return hashed.groupBy("content_hash").agg(
+    return hashed.groupBy("_chash").agg(
         F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id")
+    ).select(
+        F.lower(F.hex("_chash")).alias("content_hash"), "n_dups", "keep_id"
     )
 
 
@@ -57,8 +65,9 @@ def dedup_exact(docs_df, id_col="doc_id", text_col="text"):
     null-unsafe equi-join would silently DROP every errored row."""
     with_text = docs_df.filter(F.col(text_col).isNotNull())
     null_text = docs_df.filter(F.col(text_col).isNull())
+    # 16-byte binary key: the hash exists only to be shuffled on
     hashed = with_text.withColumn(
-        "content_hash", F.md5(normalized_text_col(F.col(text_col)))
+        "content_hash", F.unhex(F.md5(normalized_text_col(F.col(text_col))))
     )
     keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     kept = hashed.join(keep, ["content_hash", id_col]).drop("content_hash")
@@ -872,39 +881,166 @@ def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
 # ---- exact duplicated-span removal (Lee et al. 2022) -------------------------------
 
 
+# Rolling-hash constants for span windows: Horner base B (odd, so it is
+# invertible mod 2^64) and its modular inverse. Arithmetic is uint64
+# wraparound -- numpy integer ops are modular, and doing it in numpy
+# sidesteps Spark 4's ANSI long-overflow errors that rule out a native
+# wraparound expression.
+_SPAN_B = 1000003
+_SPAN_INV_B = pow(_SPAN_B, -1, 2**64)
+
+# The word boundary class used throughout span dedup. The Python form
+# must tokenize identically to the native F.split on r"[ \t\r\n\f]+"
+# (explicit class, not \s: Python's \s and Java's \s disagree on \x0b
+# and unicode spaces).
+_SPAN_WORD_RE_PATTERN = r"[^ \t\r\n\f]+"
+
+
+def _rolling_window_hash_udf(k):
+    """array<long> per-word hashes -> array<long> of the n-k+1 k-word
+    window hashes, O(n) per document (VERDICT r5 #3: the native
+    array_join(slice)+md5 form re-materialized k words per position,
+    an O(n*k) byte amplification).
+
+    Math: with word hashes a[i] (uint64) the window hash is the Horner
+    fold H(p) = sum a[p+i] * B^(k-1-i) mod 2^64. Let
+    S[j] = sum_{i<j} a[i] * invB^(i+1); then
+    H(p) = B^(p+k) * (S[p+k] - S[p]) -- three cumulative passes
+    (cumprod for the invB powers, cumsum for S, cumprod for the B
+    powers), all vectorized uint64 wraparound. Base hashes are native
+    xxhash64 (computed JVM-side), so inputs are effectively random and
+    the collision rate is the generic 64-bit birthday bound -- at 10^12
+    windows ~3e4 expected collisions corpus-wide, i.e. ~1e-6 of words
+    wrongly cut; hash_mode='md5' (128-bit) is the exact fallback."""
+    import pandas as pd
+
+    b_u64 = np.uint64(_SPAN_B)
+    inv_b_u64 = np.uint64(_SPAN_INV_B)
+
+    @F.pandas_udf("array<long>")
+    def _whs(word_hashes: pd.Series) -> pd.Series:
+        out = []
+        empty = np.empty(0, dtype=np.int64)
+        for wh in word_hashes:
+            n = 0 if wh is None else len(wh)
+            if n < k:
+                out.append(empty)
+                continue
+            a = np.asarray(wh, dtype=np.int64).view(np.uint64)
+            inv_pows = np.cumprod(np.full(n, inv_b_u64, dtype=np.uint64))
+            s = np.concatenate(
+                ([np.uint64(0)],
+                 np.cumsum(a * inv_pows, dtype=np.uint64))
+            )
+            b_pows = np.cumprod(np.full(n, b_u64, dtype=np.uint64))
+            h = b_pows[k - 1:n] * (s[k:] - s[:n - k + 1])
+            out.append(h.view(np.int64))
+        return pd.Series(out)
+
+    return _whs
+
+
+def _excise_spans_udf(k):
+    """(text, sorted removed window positions) -> struct(text_clean,
+    n_dropped): cut ONLY the characters of the duplicated k-word spans
+    from the original string, leaving every other byte -- newlines,
+    tabs, runs of spaces -- verbatim (ADVICE r5: rebuilding the whole
+    text space-joined destroyed corpus-wide whitespace even for clean
+    docs). Rows with no removed windows pass through untouched without
+    re-tokenizing.
+
+    Excision rule per maximal covered word run [a, b]: cut
+    [start(word a), start(word b+1)) -- the span plus its trailing
+    inter-word separator; a run ending at the last word cuts
+    [end(word a-1), len) instead (consuming the preceding separator),
+    and a fully-covered doc cuts everything."""
+    import re
+
+    import pandas as pd
+
+    word_re = re.compile(_SPAN_WORD_RE_PATTERN)
+
+    @F.pandas_udf("struct<text_clean:string,n_dropped:long>")
+    def _excise(text: pd.Series, rpos: pd.Series) -> pd.DataFrame:
+        clean, dropped = [], []
+        for t, rp in zip(text, rpos):
+            if rp is None or len(rp) == 0:
+                clean.append(t)
+                dropped.append(0)
+                continue
+            spans = [m.span() for m in word_re.finditer(t)]
+            n = len(spans)
+            pos = np.asarray(rp, dtype=np.int64)
+            # merge overlapping/adjacent window intervals [p, p+k-1]
+            # into maximal runs (pos is sorted)
+            brk = np.nonzero(pos[1:] > pos[:-1] + k)[0]
+            run_first = np.concatenate(([0], brk + 1))
+            run_last = np.concatenate((brk, [len(pos) - 1]))
+            n_cut = 0
+            parts, prev = [], 0
+            for s_i, e_i in zip(run_first, run_last):
+                a, b = int(pos[s_i]), int(pos[e_i]) + k - 1
+                n_cut += b - a + 1
+                if b + 1 < n:
+                    cs, ce = spans[a][0], spans[b + 1][0]
+                else:
+                    cs = spans[a - 1][1] if a > 0 else 0
+                    ce = len(t)
+                parts.append(t[prev:cs])
+                prev = ce
+            parts.append(t[prev:])
+            clean.append("".join(parts))
+            dropped.append(n_cut)
+        return pd.DataFrame({"text_clean": clean, "n_dropped": dropped})
+
+    return _excise
+
+
 def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
-                          text_col="text"):
+                          text_col="text", hash_mode="rolling"):
     """Exact duplicated-substring removal at word granularity (Lee et
     al., "Deduplicating Training Data Makes Language Models Better",
     ACL'22, ExactSubstr): every word covered by a k-word window whose
     exact content occurs >= `min_count` times in the corpus is removed
     from every occurrence EXCEPT the canonical first one (minimum
-    (doc_id, position)), and the survivors reassemble in order -- the
-    span-level middle ground between document near-dup (minhash) and
-    line/paragraph boilerplate dedup, catching long verbatim quotes,
-    licence blocks and templated passages that cross line boundaries.
+    (doc_id, position)) by excising exactly those characters from the
+    original text -- every byte outside the duplicated spans (newlines,
+    tabs, spacing) survives verbatim, per the reference technique's
+    cut-only-the-duplicate-range semantics. The span-level middle
+    ground between document near-dup (minhash) and line/paragraph
+    boilerplate dedup, catching long verbatim quotes, licence blocks
+    and templated passages that cross line boundaries.
 
     The reference paper builds a corpus suffix array; the Spark-native
     equi-join form used here trades its generality (arbitrary-length
     matches) for fixed-k windows, which is the standard distributed
     adaptation: every stage is a narrow transform or an equi-join on a
-    16-byte window hash.
+    compact window-hash key.
 
-    Plan: native sliding window hashes (transform over sequence --
-    no UDF) -> posexplode -> ONE shuffle on the window hash where
-    count() and row_number() over (whash order by doc_id, pos) mark
-    each occurrence's multiplicity and rank (no bigint key packing --
-    arbitrary 64-bit doc ids stay exact) -> non-owner occurrences
-    (rank > 1 in groups meeting min_count) explode to covered word
-    indices (duplicated spans only -- rare by construction, so the
-    k-times blowup applies to a tiny subset) -> anti-join against the
-    word table -> order-stable reassembly (the line-dedup pattern).
+    hash_mode='rolling' (default): native per-word xxhash64 feeds an
+    O(n) uint64 polynomial rolling hash (Arrow-vectorized numpy; see
+    _rolling_window_hash_udf for the math and the 64-bit collision
+    bound), and the shuffle key is an 8-byte long. 'md5' is the exact
+    128-bit form (native expression, O(n*k) bytes, 16-byte binary
+    key); a parity unit pins both modes to identical outputs.
+
+    Plan: narrow window-hash stage -> posexplode -> ONE shuffle on the
+    window hash where count() and row_number() over (whash order by
+    doc_id, pos) mark each occurrence's multiplicity and rank (no
+    bigint key packing -- arbitrary 64-bit doc ids stay exact) ->
+    non-owner window positions (rank > 1 in groups meeting min_count)
+    groupBy(doc) into one sorted position array (one row per REMOVED
+    WINDOW -- no k-times coverage explode) -> join back to the text ->
+    excision UDF cuts the covered character ranges (run merging is
+    O(m) numpy; clean docs pass through without re-tokenizing).
     Null texts pass through with text_clean=null; docs shorter than k
-    words have no windows and pass through intact.
+    words have no windows and pass through byte-identical.
 
     Returns (id, text_clean, n_words, n_dropped)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    if hash_mode not in ("rolling", "md5"):
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     null_rows = docs_df.filter(F.col(text_col).isNull()).select(
         F.col(id_col),
         F.lit(None).cast("string").alias("text_clean"),
@@ -915,18 +1051,25 @@ def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
         F.split(F.col(text_col), r"[ \t\r\n\f]+"), lambda w: w != ""
     )
     base = docs_df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), words_col.alias("words")
+        F.col(id_col), F.col(text_col).alias("_text"),
+        words_col.alias("words")
     )
     n_words = F.size("words")
-    window_hashes = F.when(
-        n_words >= k,
-        F.transform(
-            F.sequence(F.lit(0), n_words - k),
-            lambda p: F.md5(
-                F.array_join(F.slice("words", p + 1, k), " ")
+    if hash_mode == "md5":
+        # exact 128-bit windows; unhex halves the old hex shuffle
+        # bytes (VERDICT r5 #2: 16-byte binary, not 32-char hex)
+        window_hashes = F.when(
+            n_words >= k,
+            F.transform(
+                F.sequence(F.lit(0), n_words - k),
+                lambda p: F.unhex(F.md5(
+                    F.array_join(F.slice("words", p + 1, k), " ")
+                )),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<binary>"))
+    else:
+        word_hashes = F.transform("words", lambda w: F.xxhash64(w))
+        window_hashes = _rolling_window_hash_udf(k)(word_hashes)
     wins = base.select(
         F.col(id_col),
         F.posexplode(window_hashes).alias("pos", "whash"),
@@ -939,36 +1082,26 @@ def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
         .filter((F.col("_n_occ") >= min_count) & (F.col("_rank") > 1))
         .select(F.col(id_col), F.col("pos"))
     )
-    covered = removed.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-        ).alias("idx"),
-    ).distinct()
-    toks = base.select(
-        F.col(id_col), F.posexplode("words").alias("idx", "word")
+    spans_by_doc = removed.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_rpos")
     )
-    kept = toks.join(covered, [id_col, "idx"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count("*").alias("_n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "word"))),
-                lambda x: x["word"],
-            ),
-            " ",
-        ).alias("text_clean"),
-    )
-    out = (
-        base.select(F.col(id_col), n_words.cast("long").alias("n_words"))
-        .join(reassembled, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            "n_words",
-            (F.col("n_words") - F.coalesce(F.col("_n_kept"), F.lit(0)))
-            .cast("long").alias("n_dropped"),
+    excised = (
+        base.select(
+            F.col(id_col), F.col("_text"),
+            n_words.cast("long").alias("n_words"),
         )
+        .join(spans_by_doc, id_col, "left")
+        .select(
+            F.col(id_col), F.col("n_words"),
+            _excise_spans_udf(k)(F.col("_text"), F.col("_rpos"))
+            .alias("_ex"),
+        )
+    )
+    out = excised.select(
+        F.col(id_col),
+        F.col("_ex.text_clean").alias("text_clean"),
+        "n_words",
+        F.col("_ex.n_dropped").alias("n_dropped"),
     )
     return out.unionByName(null_rows)
 
@@ -1018,8 +1151,9 @@ def line_frequency_dedup(docs_df, min_docs=2, id_col="doc_id",
         ).alias("pos", "line"),
     )
     norm = normalized_text_col(F.col("line"))
+    # 16-byte binary unit-hash key (VERDICT r5 #2) -- internal only
     hashed = lines.withColumn("_norm_len", F.length(norm)).withColumn(
-        "lhash", F.md5(norm)
+        "lhash", F.unhex(F.md5(norm))
     )
     freq = (
         hashed.filter(F.col("_norm_len") >= min_line_chars)
