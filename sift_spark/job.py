@@ -257,10 +257,20 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             out, pack_budget, n_shards=n_shards, vocab_path=vocab_path
         ).write.mode("overwrite").parquet(output_dir + "_packed")
         assignment = spark.read.parquet(output_dir + "_packed")
-        materialize_packed_sequences(
+        buffers = materialize_packed_sequences(
             out, pack_budget, n_shards=n_shards, vocab_path=vocab_path,
             assignment=assignment,
-        ).write.mode("overwrite").parquet(output_dir + "_tokens")
+        )
+        # size-bounded files + one-file _manifest.json: the loader's
+        # planning facts without a directory scan
+        from .operators.packing import write_token_buffers
+
+        write_token_buffers(
+            spark, buffers, output_dir + "_tokens", pack_budget,
+            n_shards=n_shards,
+            vocab_label=(vocab_path.rsplit("/", 1)[-1]
+                         if vocab_path else None),
+        )
 
     metrics = {}
     for stage, obs in observations.items():

@@ -266,6 +266,85 @@ def materialize_packed_sequences(docs_df, budget, n_shards=64,
     )
 
 
+def write_token_buffers(spark, packed_df, output_dir, budget, eod_id=0,
+                        n_shards=64, vocab_label=None, max_file_mb=256):
+    """Write :func:`materialize_packed_sequences` output as a
+    loader-ready directory: size-bounded parquet files plus a
+    `_manifest.json` (one real file, written through the Hadoop
+    FileSystem client so it lands next to the parquet on local/HDFS/
+    s3a alike; the underscore prefix keeps parquet readers from
+    treating it as data). Returns the manifest dict.
+
+    Size bound without an extra job: every sequence holds <= `budget`
+    tokens (oversized single-doc sequences excepted), so
+    maxRecordsPerFile = max_file_mb / (budget * 8 bytes) caps the raw
+    token payload per file -- parquet encoding only shrinks it.
+
+    The manifest carries the loader's planning facts -- budget, EOD id,
+    shard count, vocab identity, global totals and per-file
+    sequence/token/doc counts -- so a training loader can size and
+    schedule reads WITHOUT scanning the directory. Per-file stats come
+    from one column-pruned pass over the written files (token arrays
+    never re-read; one output row per FILE, driver-safe)."""
+    import json
+
+    from ..plans.fsio import write_text_file
+
+    max_records = max(1, (max_file_mb * 1024 * 1024) // (budget * 8))
+    (
+        packed_df.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records)
+        .parquet(output_dir)
+    )
+    per_file = (
+        spark.read.parquet(output_dir)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count("*").alias("n_sequences"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.when(F.col("oversized"), 1).otherwise(0))
+            .alias("n_oversized_seqs"),
+        )
+        .collect()
+    )
+    files = sorted(
+        (
+            {
+                "name": row["file"].rsplit("/", 1)[-1],
+                "n_sequences": row["n_sequences"],
+                "n_tokens": int(row["n_tokens"] or 0),
+                "n_docs": int(row["n_docs"] or 0),
+            }
+            for row in per_file
+        ),
+        key=lambda f: f["name"],
+    )
+    manifest = {
+        "format": "sift-spark-packed-tokens-v1",
+        "budget": budget,
+        "eod_id": eod_id,
+        "n_shards": n_shards,
+        "vocab": vocab_label or "fallback-hash",
+        "max_records_per_file": max_records,
+        "totals": {
+            "n_files": len(files),
+            "n_sequences": sum(f["n_sequences"] for f in files),
+            "n_tokens": sum(f["n_tokens"] for f in files),
+            "n_docs": sum(f["n_docs"] for f in files),
+            "n_oversized_seqs": sum(
+                int(row["n_oversized_seqs"] or 0) for row in per_file
+            ),
+        },
+        "files": files,
+    }
+    write_text_file(
+        spark, output_dir + "/_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
+    return manifest
+
+
 def packing_stats(packed_df, budget):
     """Per-shard packing efficiency: sequences, mean fill ratio, number
     of oversized docs -- the monitor a production packing job logs."""

@@ -169,20 +169,22 @@ def ivf_load(spark, path):
     import json
     import os
 
-    from pyspark.errors import AnalysisException
+    from ..plans.fsio import path_exists
 
     assigned = spark.read.parquet(path + "/assigned")
-    try:
+    # probe for the sidecar EXPLICITLY (ADVICE r5: catching
+    # AnalysisException around the read also swallowed genuine
+    # analysis failures -- permissions, corrupt files -- and silently
+    # paired fresh assignments with a stale legacy centers.json);
+    # only a truly absent new-format sidecar falls back, every other
+    # failure propagates with its real cause
+    if path_exists(spark, path + "/centers"):
         row = spark.read.text(path + "/centers").first()
-    except AnalysisException:
-        # only a MISSING new-format sidecar falls back to the legacy
-        # driver-local file; genuine read failures (permissions,
-        # transient IO, corrupt JSON) propagate with their real cause
-        with open(os.path.join(path, "centers.json")) as fh:
-            return assigned, json.load(fh)
-    if row is None:
-        raise ValueError(f"empty centers sidecar at {path}/centers")
-    return assigned, json.loads(row["value"])
+        if row is None:
+            raise ValueError(f"empty centers sidecar at {path}/centers")
+        return assigned, json.loads(row["value"])
+    with open(os.path.join(path, "centers.json")) as fh:
+        return assigned, json.load(fh)
 
 
 def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,

@@ -1455,6 +1455,45 @@ def test_pii_scrub_to_zero_property():
     check()
 
 
+def test_write_token_buffers_manifest(spark, tmp_path):
+    """write_token_buffers: size-bounded files (maxRecordsPerFile from
+    the budget byte bound) and a one-file _manifest.json whose per-file
+    and total counts reconcile exactly with the written parquet; the
+    underscore name keeps the directory loadable as plain parquet."""
+    import json
+
+    from sift_spark.operators.packing import (
+        materialize_packed_sequences,
+        write_token_buffers,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon " * (1 + i % 3))
+         for i in range(12)],
+        ["doc_id", "text"])
+    buffers = materialize_packed_sequences(
+        docs, budget=24, n_shards=2, portable_hash=True)
+    out_dir = str(tmp_path / "tokens")
+    manifest = write_token_buffers(
+        spark, buffers, out_dir, budget=24, n_shards=2, max_file_mb=0)
+
+    # max_file_mb=0 floors maxRecordsPerFile at 1 -> one sequence per
+    # parquet file, proving the size bound reaches the writer
+    assert manifest["max_records_per_file"] == 1
+    rows = spark.read.parquet(out_dir).collect()
+    assert manifest["totals"]["n_files"] >= len(rows) >= 1
+    assert all(f["n_sequences"] == 1 for f in manifest["files"])
+
+    disk = json.loads((tmp_path / "tokens" / "_manifest.json").read_text())
+    assert disk == manifest
+    assert disk["totals"]["n_sequences"] == len(rows)
+    assert disk["totals"]["n_tokens"] == sum(r["n_tokens"] for r in rows)
+    assert disk["totals"]["n_docs"] == 12
+    assert disk["totals"]["n_oversized_seqs"] == 0
+    assert [f["name"] for f in disk["files"]] == sorted(
+        f["name"] for f in disk["files"])
+
+
 def test_pack_sequences_null_text_packs_as_zero(spark):
     """Null-text rows pack as 0-token docs instead of killing the
     grouped kernel (sibling-operator null contract)."""
@@ -1806,6 +1845,27 @@ def test_crawl_curate_end_to_end(spark, tmp_path):
     assert len(tok_rows) >= 1
     assert sum(r["n_docs"] for r in tok_rows) == 2
     assert all(len(r["token_ids"]) == r["n_tokens"] for r in tok_rows)
+
+    # the _tokens manifest describes the directory without a scan and
+    # cross-checks against packing_stats over the written assignment
+    import json
+
+    from sift_spark.operators.packing import packing_stats
+
+    manifest = json.loads(
+        (tmp_path / "corpus_tokens" / "_manifest.json").read_text())
+    assert manifest["format"] == "sift-spark-packed-tokens-v1"
+    assert manifest["budget"] == 64 and manifest["vocab"] == "fallback-hash"
+    assert manifest["totals"]["n_docs"] == 2
+    assert manifest["totals"]["n_sequences"] == len(tok_rows)
+    assert manifest["totals"]["n_tokens"] == sum(
+        r["n_tokens"] for r in tok_rows)
+    assert sum(f["n_sequences"] for f in manifest["files"]) == \
+        manifest["totals"]["n_sequences"]
+    stats = packing_stats(
+        spark.read.parquet(out_root + "_packed"), 64).collect()
+    assert sum(r["n_sequences"] for r in stats) == \
+        manifest["totals"]["n_sequences"]
 
     # second invocation resumes: no new extraction work, same corpus
     out2, metrics2 = run_crawl_curate_job(
