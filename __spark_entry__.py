@@ -1086,17 +1086,38 @@ def _q_pack_materialize(spark, sf_dir):
 
 
 def _q_orders_by_nation(spark, sf_dir):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    """TPC-H Q5-shaped engine-sanity query (ADVICE r5: the gate must
+    keep one multi-table join + filtered aggregate so engine-level
+    join/agg planning regressions stay caught): lineitem revenue per
+    nation for one region and one order-date year, through a 5-table
+    join -- the big lineitem<->orders join shuffles, the three dims
+    broadcast, and the date + region filters must push into the
+    scans."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        orders.join(F.broadcast(customer),
-                    orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        lineitem.join(orders,
+                      lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer),
+              orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation),
+              customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
         .agg(
-            F.count("*").alias("n_orders"),
-            _scaled_sum(F.col("o_totalprice"), 100).alias("total_price"),
+            F.count("*").alias("n_items"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            _scaled_sum(revenue, 100).alias("revenue"),
         )
     )
 
@@ -2414,12 +2435,19 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SPAN_DEDUP_SQL,
         "pack_materialize": _PACK_MATERIALIZE_SQL,
         "orders_by_nation": """
-            SELECT n_name, count(*) AS n_orders,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
-                       AS total_price
-            FROM orders
+            SELECT r_name, n_name, count(*) AS n_items,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+                   sum(CAST(round(
+                       l_extendedprice * (1.0 - l_discount) * 100
+                   ) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
-            GROUP BY n_name
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND r_name IN ('ASIA', 'EUROPE')
+            GROUP BY r_name, n_name
         """,
     }

@@ -142,7 +142,7 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      benchmark_df=None, ngram=13, pack_budget=0,
                      n_shards=64, vocab_path=None,
                      temperature_stratum=None, temperature_alpha=0.5,
-                     span_k=0):
+                     temperature_default_rate=0.0, span_k=0):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -242,10 +242,17 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         mixed = observed(
             temperature_resample(out, stratum_col=temperature_stratum,
                                  key_col="doc_id",
-                                 alpha=temperature_alpha),
+                                 alpha=temperature_alpha,
+                                 default_rate=temperature_default_rate),
             "after_mix",
         )
         mixed.write.mode("overwrite").parquet(output_dir + "_mixed")
+        # null-stratum rows follow temperature_default_rate (0 = drop);
+        # surface the count so the policy is visible in the funnel, not
+        # a silent delete (ADVICE r5). One column-pruned scan of the
+        # already-written sink -- never a pipeline re-run.
+        mix_null_stratum = out.filter(
+            F.col(temperature_stratum).isNull()).count()
         out = spark.read.parquet(output_dir + "_mixed")
     if pack_budget:
         # ONE packing run describes both sinks: the assignment is
@@ -278,6 +285,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             metrics[stage] = obs.get["n"]
         except Exception:
             metrics[stage] = None  # AQE-pruned empty subtree
+    if temperature_stratum:
+        metrics["mix_null_stratum"] = mix_null_stratum
     return out, metrics
 
 
@@ -308,6 +317,11 @@ def curate_main(argv=None):
                         help="column to temperature-rebalance on after "
                              "curation (e.g. source); off by default")
     parser.add_argument("--mix-alpha", type=float, default=0.5)
+    parser.add_argument("--mix-default-rate", type=float, default=0.0,
+                        help="keep rate for rows with a null/unseen "
+                             "mix stratum (0 = drop, 1 = keep all; "
+                             "the dropped-null count is reported as "
+                             "mix_null_stratum)")
     parser.add_argument("--vocab", default=None,
                         help="tiktoken-format BPE vocab for the packed "
                              "token buffers (default: fallback ids)")
@@ -334,6 +348,7 @@ def curate_main(argv=None):
         vocab_path=args.vocab,
         temperature_stratum=args.mix_stratum,
         temperature_alpha=args.mix_alpha,
+        temperature_default_rate=args.mix_default_rate,
         span_k=args.span_k,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
@@ -434,6 +449,7 @@ def crawl_curate_main(argv=None):
                              "(0 = off)")
     parser.add_argument("--mix-stratum", default=None)
     parser.add_argument("--mix-alpha", type=float, default=0.5)
+    parser.add_argument("--mix-default-rate", type=float, default=0.0)
     parser.add_argument("--pack-budget", type=int, default=0,
                         help="token budget per training sequence "
                              "(0 = skip packing)")
@@ -465,6 +481,7 @@ def crawl_curate_main(argv=None):
         vocab_path=args.vocab,
         temperature_stratum=args.mix_stratum,
         temperature_alpha=args.mix_alpha,
+        temperature_default_rate=args.mix_default_rate,
         span_k=args.span_k,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())

@@ -537,19 +537,41 @@ def _iteration_checkpointer(df, checkpoint_dir):
     return reliable_cut
 
 
-def clear_checkpoint_run(result_df):
+def clear_checkpoint_run(result_df=None, run_dir=None, spark=None):
     """Delete the checkpoint run directory backing a reliable-checkpoint
     connected-components result, AFTER the caller has collected or
     persisted it (the final two parquet generations back the lazy
-    DataFrame until then). No-op for results produced without
-    checkpoint_dir."""
-    run_dir = getattr(result_df, "checkpoint_run_dir", None)
-    if run_dir:
-        _delete_hadoop_path(result_df.sparkSession, run_dir)
+    DataFrame until then).
+
+    Accepts either the result DataFrame (whose `.checkpoint_run_dir`
+    attribute carries the directory) or an EXPLICIT `run_dir` string --
+    the attribute lives on one specific DataFrame object and any
+    transformation/persist/re-read produces a new object without it
+    (ADVICE r5), so callers that pass results around should capture the
+    directory at creation (`return_run_dir=True` on
+    connected_components/_star) and pass it here explicitly.
+
+    Returns True iff a directory was actually deleted -- a False from a
+    call that was expected to clean up means the handle was lost, not
+    that cleanup succeeded."""
+    if run_dir is None and result_df is not None:
+        run_dir = getattr(result_df, "checkpoint_run_dir", None)
+    if not run_dir:
+        return False
+    if spark is None:
+        spark = (result_df.sparkSession if result_df is not None
+                 else None)
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    _delete_hadoop_path(spark, run_dir)
+    return True
 
 
 def connected_components(pairs_df, id_a="id_a", id_b="id_b",
-                         max_iterations=50, checkpoint_dir=None):
+                         max_iterations=50, checkpoint_dir=None,
+                         return_run_dir=False):
     """Near-dup pairs -> duplicate CLUSTERS: (doc_id, component_id) where
     component_id is the min doc id in the weakly-connected component.
     Downstream keeps component_id as the canonical document and drops the
@@ -610,21 +632,29 @@ def connected_components(pairs_df, id_a="id_a", id_b="id_b",
             # gets its own isolated run dir).
             if checkpoint_dir:
                 _delete_hadoop_path(pairs_df.sparkSession, ckpt.run_dir)
-            return connected_components_star(pairs_df, id_a=id_a,
-                                             id_b=id_b,
-                                             checkpoint_dir=checkpoint_dir)
+            return connected_components_star(
+                pairs_df, id_a=id_a, id_b=id_b,
+                checkpoint_dir=checkpoint_dir,
+                return_run_dir=return_run_dir)
     finally:
         edges.unpersist()
     result = labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
+    run_dir = ckpt.run_dir if checkpoint_dir else None
     if checkpoint_dir:
-        result.checkpoint_run_dir = ckpt.run_dir
+        result.checkpoint_run_dir = run_dir
+    if return_run_dir:
+        # the explicit handle survives transformations/persist/re-read,
+        # unlike the attribute (ADVICE r5); pass it to
+        # clear_checkpoint_run(run_dir=...) after consuming the result
+        return result, run_dir
     return result
 
 
 def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
-                              max_iterations=50, checkpoint_dir=None):
+                              max_iterations=50, checkpoint_dir=None,
+                              return_run_dir=False):
     """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): converges in O(log^2 n) rounds regardless of graph
@@ -738,8 +768,14 @@ def connected_components_star(pairs_df, id_a="id_a", id_b="id_b",
     result = labeled.unionByName(self_labeled).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
+    run_dir = ckpt.run_dir if checkpoint_dir else None
     if checkpoint_dir:
-        result.checkpoint_run_dir = ckpt.run_dir
+        result.checkpoint_run_dir = run_dir
+    if return_run_dir:
+        # the explicit handle survives transformations/persist/re-read,
+        # unlike the attribute (ADVICE r5); pass it to
+        # clear_checkpoint_run(run_dir=...) after consuming the result
+        return result, run_dir
     return result
 
 

@@ -135,10 +135,117 @@ def parse_bmp(payload):
     }
 
 
+def parse_png(payload):
+    """PNG header parse with stdlib `struct` alone -> dict of (width,
+    height, bit_depth, color_type, interlace, n_chunks). Verifies the
+    8-byte signature and walks the chunk list (4-byte BE length + type
+    + data + CRC) to the mandatory IHDR; full pixel decode stays out of
+    scope (zlib'd filtered scanlines -- a real decoder's job). Raises
+    ValueError on non-PNG or truncated payloads."""
+    if len(payload) < 33 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, n_chunks, ihdr = 8, 0, None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        if ctype == b"IHDR":
+            if length < 13 or pos + 8 + 13 > len(payload):
+                raise ValueError("truncated PNG IHDR")
+            ihdr = struct.unpack_from(">IIBBBBB", payload, pos + 8)
+        n_chunks += 1
+        if ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + CRC
+    if ihdr is None:
+        raise ValueError("PNG payload missing IHDR chunk")
+    width, height, depth, color_type, _comp, _filt, interlace = ihdr
+    if width == 0 or height == 0:
+        raise ValueError("PNG IHDR with zero dimension")
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "color_type": color_type,
+        "interlace": interlace,
+        "n_chunks": n_chunks,
+    }
+
+
+def parse_gif(payload):
+    """GIF header parse with stdlib `struct` alone -> dict of (width,
+    height, version, gct_size, color_resolution) from the logical
+    screen descriptor. Raises ValueError on non-GIF payloads."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    width, height = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    gct_flag = bool(packed & 0x80)
+    return {
+        "width": width,
+        "height": height,
+        "version": payload[3:6].decode("ascii"),
+        "gct_size": (2 << (packed & 0x07)) if gct_flag else 0,
+        "color_resolution": ((packed >> 4) & 0x07) + 1,
+    }
+
+
+# SOFn markers carrying frame dimensions; C4/C8/CC are DHT/JPG/DAC
+_JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg(payload):
+    """JPEG header parse with stdlib `struct` alone -> dict of (width,
+    height, precision, n_components, progressive) from the first SOFn
+    segment. Walks the marker-segment stream (FF marker + BE u16
+    length) past APPn/DQT/DHT to the start-of-frame; stops at SOS
+    (entropy-coded data follows -- a real decoder's job). Raises
+    ValueError on non-JPEG or truncated payloads."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker desync at byte {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone marker, no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("truncated JPEG segment")
+        if marker in _JPEG_SOF_MARKERS:
+            if seg_len < 8:
+                raise ValueError("truncated JPEG SOF segment")
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", payload, pos + 4
+            )
+            if width == 0 or height == 0:
+                raise ValueError("JPEG SOF with zero dimension")
+            return {
+                "width": width,
+                "height": height,
+                "precision": precision,
+                "n_components": n_comp,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xDA:  # SOS without a prior SOF: malformed
+            break
+        pos += 2 + seg_len
+    raise ValueError("JPEG payload missing SOF header")
+
+
 def stdlib_features(payload):
-    """Content-derived features for the formats stdlib can decode:
-    RIFF/WAVE and BMP. Fixed slot layout inside the FEATURE_DIM vector
-    (slot 0 is a format tag: 1=wav, 2=bmp); unknown formats raise
+    """Content-derived features for the formats stdlib can parse:
+    RIFF/WAVE and BMP (full header decode) plus PNG/GIF/JPEG (header-
+    level dimensions -- the three dominant web image formats; pixel
+    decode stays honestly stubbed behind decode_available()). Fixed
+    slot layout inside the FEATURE_DIM vector (slot 0 is a format tag:
+    1=wav, 2=bmp, 3=png, 4=gif, 5=jpeg); unknown formats raise
     ValueError so the caller can fall back or emit an error row."""
     out = [0.0] * FEATURE_DIM
     if payload[:4] == b"RIFF":
@@ -159,6 +266,34 @@ def stdlib_features(payload):
         out[3] = float(meta["bit_count"])
         out[4] = 1.0 if meta["top_down"] else 0.0
         out[5] = float(meta["file_size"])
+        return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        meta = parse_png(payload)
+        out[0] = 3.0
+        out[1] = float(meta["width"])
+        out[2] = float(meta["height"])
+        out[3] = float(meta["bit_depth"])
+        out[4] = float(meta["color_type"])
+        out[5] = float(meta["interlace"])
+        out[6] = float(meta["n_chunks"])
+        return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        meta = parse_gif(payload)
+        out[0] = 4.0
+        out[1] = float(meta["width"])
+        out[2] = float(meta["height"])
+        out[3] = float(meta["gct_size"])
+        out[4] = 89.0 if meta["version"] == "89a" else 87.0
+        out[5] = float(meta["color_resolution"])
+        return out
+    if payload[:2] == b"\xff\xd8":
+        meta = parse_jpeg(payload)
+        out[0] = 5.0
+        out[1] = float(meta["width"])
+        out[2] = float(meta["height"])
+        out[3] = float(meta["precision"])
+        out[4] = float(meta["n_components"])
+        out[5] = 1.0 if meta["progressive"] else 0.0
         return out
     raise ValueError("no stdlib decoder for this payload format")
 
@@ -303,21 +438,84 @@ def make_bmp_bytes(width=4, height=3, bit_count=24, seed=0):
     return header + info + pixels
 
 
+def make_png_bytes(width=4, height=3, seed=0):
+    """Minimal VALID PNG blob (real chunk CRCs, real zlib'd scanlines:
+    filter byte 0 + raw RGB per row) -- deterministic content."""
+    import random
+    import zlib
+
+    rng = random.Random(seed)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(rng.getrandbits(8) for _ in range(width * 3))
+        for _ in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def make_gif_bytes(width=4, height=3, seed=0):
+    """Header-valid GIF89a blob: logical screen descriptor + 4-entry
+    global color table + trailer (no LZW image data -- the fixture
+    covers the header parse, which is all the stdlib tier reads)."""
+    import random
+
+    rng = random.Random(seed)
+    packed = 0x80 | 0x01  # GCT present, 4 entries (2 << 1)
+    gct = bytes(rng.getrandbits(8) for _ in range(4 * 3))
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + bytes([packed, 0, 0]) + gct + b"\x3b")
+
+
+def make_jpeg_bytes(width=4, height=3, seed=0):
+    """Header-valid JPEG blob: SOI + APP0/JFIF + DQT stub + SOF0 with
+    the real dimensions + EOI (no entropy-coded scan -- the fixture
+    covers the marker walk to SOF, which is all the stdlib tier
+    reads)."""
+    import random
+
+    rng = random.Random(seed)
+
+    def segment(marker, data):
+        return b"\xff" + bytes([marker]) \
+            + struct.pack(">H", len(data) + 2) + data
+
+    app0 = segment(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    dqt = segment(0xDB, b"\x00" + bytes(rng.getrandbits(8)
+                                        for _ in range(64)))
+    sof0 = segment(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01",
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
 def build_fake_media_df(spark, n_rows=32, seed=42):
     """Deterministic synthetic media table for tests/bench: audio rows
-    are REAL PCM WAVs and image rows REAL BMPs (the stdlib decoders
-    produce content-derived features for them end-to-end); video rows
-    stay opaque random bytes (decode honestly stubbed)."""
+    are REAL PCM WAVs and image rows rotate through REAL BMP/PNG/GIF/
+    JPEG blobs (the stdlib header parsers produce content-derived
+    features for all of them end-to-end); video rows stay opaque random
+    bytes (decode honestly stubbed)."""
     import random
 
     rng = random.Random(seed)
     kinds = ["image", "audio", "video"]
+    image_makers = (make_bmp_bytes, make_png_bytes, make_gif_bytes,
+                    make_jpeg_bytes)
     rows = []
     for i in range(n_rows):
         kind = kinds[i % 3]
         if kind == "image":
-            payload = make_bmp_bytes(width=4 + i % 5, height=3 + i % 4,
-                                     seed=seed + i)
+            maker = image_makers[(i // 3) % len(image_makers)]
+            payload = maker(width=4 + i % 5, height=3 + i % 4,
+                            seed=seed + i)
         elif kind == "audio":
             payload = make_wav_bytes(duration_ms=100 + (i % 5) * 50,
                                      seed=seed + i)

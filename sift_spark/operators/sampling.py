@@ -87,7 +87,8 @@ def temperature_sampling_rates(df, stratum_col, alpha=0.5):
     return {k: w / wmax for k, w in weights.items()}
 
 
-def temperature_resample(df, stratum_col, key_col, alpha=0.5, seed=0):
+def temperature_resample(df, stratum_col, key_col, alpha=0.5, seed=0,
+                         default_rate=0.0):
     """Temperature-rebalanced corpus: hash-threshold sampling with the
     rates from :func:`temperature_sampling_rates`. Deterministic,
     partition-layout invariant, append-stable -- the mixing step between
@@ -99,23 +100,37 @@ def temperature_resample(df, stratum_col, key_col, alpha=0.5, seed=0):
     ~100k values on a crawl), and a 100k-deep when/otherwise tree blows
     up Catalyst analysis, while a broadcast of 100k tiny rows is flat.
     Thresholds use the same int(rate * 2^32) truncation as
-    stratified_hash_sample, so membership matches it exactly; rows
-    whose stratum has no rate (null or unseen) drop, as with the
-    default_rate=0 chain."""
+    stratified_hash_sample, so membership matches it exactly.
+
+    `default_rate` governs rows whose stratum has NO derived rate -- a
+    null stratum, or a value unseen when rates were derived (appended
+    rows): 0.0 (default) drops them, matching stratified_hash_sample's
+    default_rate; 1.0 keeps them all; in between hash-samples them at
+    that rate (ADVICE r5: the drop must be a documented choice, not a
+    silent side effect of an inner join)."""
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(
+            f"default_rate must be in [0, 1], got {default_rate}")
     rates = temperature_sampling_rates(df, stratum_col, alpha)
     spark = df.sparkSession
+    default_threshold = int(default_rate * _BUCKETS)
     if not rates:
-        return df.filter(F.lit(False))
+        return df.filter(
+            sample_bucket_col(key_col, seed) < F.lit(default_threshold)
+        )
     rates_df = spark.createDataFrame(
         [(value, int(rate * _BUCKETS)) for value, rate in rates.items()],
         ["_stratum", "_threshold"],
     )
     # qualified references + select(df["*"]) keep the caller's schema
     # exact even when df itself has a _stratum/_threshold column -- no
-    # reserved names, no blind drop
+    # reserved names, no blind drop; LEFT join so no-rate rows reach
+    # the default threshold instead of vanishing
     joined = df.join(
-        F.broadcast(rates_df), df[stratum_col] == rates_df["_stratum"]
+        F.broadcast(rates_df),
+        df[stratum_col] == rates_df["_stratum"], "left",
     )
     return joined.filter(
-        sample_bucket_col(key_col, seed) < rates_df["_threshold"]
+        sample_bucket_col(key_col, seed)
+        < F.coalesce(rates_df["_threshold"], F.lit(default_threshold))
     ).select(df["*"])

@@ -304,6 +304,74 @@ def test_wav_bmp_stdlib_decoders():
         parse_bmp(b"BM" + b"\x00" * 30)  # bogus header size
 
 
+def test_png_gif_jpeg_header_parsers(spark):
+    """Header-level dimension/metadata parsing for the three dominant
+    web image formats (VERDICT r5 #4), pure stdlib: fixture round-trip,
+    feature slots, corrupt-header error ROWS through the Spark path
+    (never task failures); pixel decode stays honestly stubbed."""
+    from sift_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+        make_gif_bytes,
+        make_jpeg_bytes,
+        make_png_bytes,
+        parse_gif,
+        parse_jpeg,
+        parse_png,
+        stdlib_features,
+    )
+
+    png = parse_png(make_png_bytes(width=17, height=9))
+    assert (png["width"], png["height"]) == (17, 9)
+    assert png["bit_depth"] == 8 and png["color_type"] == 2
+    assert png["n_chunks"] == 3  # IHDR + IDAT + IEND
+
+    gif = parse_gif(make_gif_bytes(width=31, height=22))
+    assert (gif["width"], gif["height"]) == (31, 22)
+    assert gif["version"] == "89a" and gif["gct_size"] == 4
+
+    jpg = parse_jpeg(make_jpeg_bytes(width=63, height=41))
+    assert (jpg["width"], jpg["height"]) == (63, 41)
+    assert jpg["precision"] == 8 and jpg["n_components"] == 3
+    assert jpg["progressive"] is False
+
+    for maker, tag in ((make_png_bytes, 3.0), (make_gif_bytes, 4.0),
+                       (make_jpeg_bytes, 5.0)):
+        feats = stdlib_features(maker(width=6, height=5))
+        assert feats[0] == tag and feats[1:3] == [6.0, 5.0]
+
+    # corrupt headers raise ValueError (not struct.error / IndexError)
+    with pytest.raises(ValueError):
+        parse_png(make_png_bytes()[:20])  # truncated inside IHDR
+    with pytest.raises(ValueError):
+        parse_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)  # no IHDR dims
+    with pytest.raises(ValueError):
+        parse_gif(b"GIF89a\x00")  # truncated LSD
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\xff\xd8\xff\xd9")  # EOI before any SOF
+    with pytest.raises(ValueError):
+        parse_jpeg(make_jpeg_bytes()[:9])  # truncated segment
+
+    # Spark path: corrupt blobs become error rows alongside good ones
+    rows = [
+        (1, "image", make_png_bytes(seed=1), "image/png",
+         None, None, None),
+        (2, "image", make_png_bytes(seed=2)[:20], "image/png",
+         None, None, None),
+        (3, "image", make_jpeg_bytes(seed=3)[:9], "image/jpeg",
+         None, None, None),
+        (4, "image", make_gif_bytes(seed=4), "image/gif",
+         None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_media_features(
+        media, deterministic_fake=False).collect()}
+    assert got[1]["error"] is None and got[1]["features"][0] == 3.0
+    assert got[4]["error"] is None and got[4]["features"][0] == 4.0
+    assert got[2]["features"] is None and got[2]["error"]
+    assert got[3]["features"] is None and got[3]["error"]
+
+
 def test_lsh_bucket_cap_drops_hot_buckets(spark):
     """The within-bucket quadratic blowup is bounded: identical docs form
     one hot bucket; a cap below the group size removes those candidates
@@ -626,11 +694,24 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     import os
 
     assert os.path.isdir(r1.checkpoint_run_dir)
-    clear_checkpoint_run(r1)
+    assert clear_checkpoint_run(r1) is True
     assert not os.path.exists(r1.checkpoint_run_dir)
     assert len(list((tmp_path / "shared").glob("run-*"))) == 1
     assert {r["doc_id"]: r["component_id"] for r in r2.collect()} == \
         {5: 5, 6: 5}  # the other run's result still readable
+
+    # the EXPLICIT handle (return_run_dir=True) survives
+    # transformations that strip the DataFrame attribute (ADVICE r5:
+    # attribute-only cleanup silently no-ops on any derived frame) --
+    # and the bool return makes a lost-handle no-op detectable
+    r3, rd3 = connected_components(
+        pairs_b, checkpoint_dir=shared, return_run_dir=True)
+    derived = r3.filter("doc_id > 0")  # new object, attribute gone
+    assert derived.count() == 2
+    assert clear_checkpoint_run(derived) is False  # lost attribute
+    assert os.path.isdir(rd3)
+    assert clear_checkpoint_run(run_dir=rd3, spark=spark) is True
+    assert not os.path.exists(rd3)
 
 
 def test_connected_components_clusters_pairs(spark):
@@ -787,6 +868,43 @@ def test_temperature_resample(spark):
     assert out2.columns == tricky.columns
     row = out2.first()
     assert row["_stratum"] == "keep" and row["_threshold"] == 7
+
+
+def test_temperature_resample_null_stratum(spark):
+    """default_rate governs rows with no derived rate (null stratum, or
+    values unseen at rate time): 0.0 drops them (the old inner-join
+    behavior, now explicit), 1.0 keeps them all, and a fractional rate
+    hash-samples them deterministically (ADVICE r5)."""
+    from sift_spark.operators.sampling import temperature_resample
+
+    rows = ([(i, "en") for i in range(40)]
+            + [(100 + i, None) for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    dropped = temperature_resample(df, "lang", "doc_id", alpha=0.5)
+    assert dropped.filter(F.col("lang").isNull()).count() == 0
+    kept = temperature_resample(df, "lang", "doc_id", alpha=0.5,
+                                default_rate=1.0)
+    assert kept.filter(F.col("lang").isNull()).count() == 20
+    assert kept.filter(F.col("lang").isNotNull()).count() == 40
+
+    # deterministic fractional default: same members on re-run
+    half_a = temperature_resample(df, "lang", "doc_id", alpha=0.5,
+                                  default_rate=0.5)
+    half_b = temperature_resample(df.repartition(8), "lang", "doc_id",
+                                  alpha=0.5, default_rate=0.5)
+    nulls_a = sorted(r["doc_id"] for r in
+                     half_a.filter(F.col("lang").isNull()).collect())
+    nulls_b = sorted(r["doc_id"] for r in
+                     half_b.filter(F.col("lang").isNull()).collect())
+    assert nulls_a == nulls_b and 0 < len(nulls_a) < 20
+
+    # an all-null stratum column: nothing to derive rates from, so
+    # default_rate is the only policy (1.0 keeps the corpus)
+    all_null = df.withColumn("lang", F.lit(None).cast("string"))
+    assert temperature_resample(all_null, "lang", "doc_id").count() == 0
+    assert temperature_resample(
+        all_null, "lang", "doc_id", default_rate=1.0).count() == 60
 
 
 def test_kmv_distinct_estimate(spark):
