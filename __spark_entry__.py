@@ -728,11 +728,20 @@ def _q_decontaminate(spark, sf_dir):
 
 
 def _q_url_canonical(spark, sf_dir):
-    """URL canonicalization collapse: two messy variants per resource
+    """URL hygiene family, three modes in one row (folding precedent:
+    ngram_jaccard). mode='canon': two messy variants per resource
     (case/port/fragment/tracking-param/param-order differences) built
     deterministically from doc_id must canonicalize to ONE url with
-    n_variants = 2. All native expressions (operators/urlnorm.py)."""
-    from sift_spark.operators.urlnorm import canonical_url_col
+    n = 2. mode='host' / mode='domain': host extraction (userinfo and
+    port stripped) and the registered-domain eTLD+1 heuristic
+    (including the ccTLD second-level co.uk rule) over four messy host
+    shapes -- the keys filter_blocked_hosts anti-joins on. All native
+    expressions (operators/urlnorm.py)."""
+    from sift_spark.operators.urlnorm import (
+        canonical_url_col,
+        registered_domain_col,
+        url_host_col,
+    )
 
     docs = _docs(spark, sf_dir)
     resource = (F.col("doc_id") / 2).cast("long").cast("string")
@@ -744,10 +753,35 @@ def _q_url_canonical(spark, sf_dir):
         F.concat(F.lit("http://example.com/item/"), resource,
                  F.lit("?a=1&b=2")),
     )
-    return (
-        docs.select(canonical_url_col(messy).alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(F.count("*").alias("n_variants"))
+    canon = (
+        docs.select(canonical_url_col(messy).alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").alias("n"))
+        .withColumn("mode", F.lit("canon"))
+    )
+    hosty = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("https://User@Sub.Shop.Example.CO.UK:443/item"),
+    ).when(
+        F.col("doc_id") % 4 == 1,
+        F.lit("http://crawler:pw@Blog.Example.com:8080/post"),
+    ).when(
+        F.col("doc_id") % 4 == 2,
+        F.lit("https://example.org/page"),
+    ).otherwise(F.lit("https://www.archive.example.net/p?q=1"))
+    host = url_host_col(hosty)
+    hosts = (
+        docs.select(host.alias("value"))
+        .groupBy("value").agg(F.count("*").alias("n"))
+        .withColumn("mode", F.lit("host"))
+    )
+    domains = (
+        docs.select(registered_domain_col(host).alias("value"))
+        .groupBy("value").agg(F.count("*").alias("n"))
+        .withColumn("mode", F.lit("domain"))
+    )
+    return canon.unionByName(hosts).unionByName(domains).select(
+        "mode", "value", "n"
     )
 
 
@@ -2304,8 +2338,48 @@ def oracle_sql() -> dict[str, str]:
                     FROM pieces
                 )
             )
-            SELECT canonical_url, count(*) AS n_variants
+            SELECT 'canon' AS mode, canonical_url AS value,
+                   count(*) AS n
             FROM canon GROUP BY canonical_url
+            UNION ALL
+            SELECT q.mode, q.value, q.n FROM (
+                WITH hosty AS (
+                    SELECT CASE doc_id % 4
+                           WHEN 0 THEN
+                             'https://User@Sub.Shop.Example.CO.UK:443/item'
+                           WHEN 1 THEN
+                             'http://crawler:pw@Blog.Example.com:8080/post'
+                           WHEN 2 THEN 'https://example.org/page'
+                           ELSE 'https://www.archive.example.net/p?q=1'
+                           END AS u
+                    FROM documents
+                ),
+                hosts AS (
+                    SELECT lower(regexp_extract(trim(u),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
+                        1)) AS host
+                    FROM hosty
+                ),
+                doms AS (
+                    SELECT host,
+                        CASE WHEN len(labels) <= 2 THEN host
+                             WHEN length(labels[len(labels)]) = 2
+                                  AND labels[len(labels) - 1] IN
+                                  ('co','com','net','org','gov','edu','ac')
+                             THEN array_to_string(
+                                 labels[len(labels)-2:len(labels)], '.')
+                             ELSE array_to_string(
+                                 labels[len(labels)-1:len(labels)], '.')
+                        END AS dom
+                    FROM (SELECT host, string_split(host, '.') AS labels
+                          FROM hosts)
+                )
+                SELECT 'host' AS mode, host AS value, count(*) AS n
+                FROM hosts GROUP BY host
+                UNION ALL
+                SELECT 'domain' AS mode, dom AS value, count(*) AS n
+                FROM doms GROUP BY dom
+            ) q
         """,
         "site_boilerplate": """
             WITH words AS (

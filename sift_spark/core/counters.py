@@ -98,7 +98,28 @@ class FallbackTokenizer:
         return spans
 
     def count(self, text):
-        return len(self.encode_spans(text)) if text else 0
+        """Span count WITHOUT materializing the span substrings --
+        counting is the kernel's hottest call (budget loops count every
+        chunk), and len(encode_spans(text)) built ~N string slices per
+        call just to take len(). Arithmetic over match spans gives the
+        identical number (parity property-tested)."""
+        if not text:
+            return 0
+        n = 0
+        pos = 0
+        for match in _PRETOKEN_RE.finditer(text):
+            start, end = match.span()
+            if start > pos:  # unmatched residue (shouldn't happen)
+                n += 1
+            piece_len = end - start
+            if piece_len <= _FALLBACK_PIECE + 1:
+                n += 1
+            else:
+                n += -(-piece_len // _FALLBACK_PIECE)  # ceil division
+            pos = end
+        if pos < len(text):
+            n += 1
+        return n
 
     def partial(self, text, max_tokens):
         if max_tokens <= 0 or not text:

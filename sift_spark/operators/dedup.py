@@ -74,6 +74,54 @@ def dedup_exact(docs_df, id_col="doc_id", text_col="text"):
     return kept.unionByName(null_text)
 
 
+def content_hash_col(text_col):
+    """16-byte binary content hash of normalized text -- the key
+    dedup_exact shuffles on, exported so callers can persist a compact
+    (id, content_hash) table as a corpus snapshot's dedup state."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.unhex(F.md5(normalized_text_col(col)))
+
+
+def dedup_against_seen(docs_df, seen_df, id_col="doc_id",
+                       text_col="text", seen_text_col=None,
+                       seen_hash_col="content_hash"):
+    """INCREMENTAL exact dedup: drop documents whose normalized content
+    already exists in a prior corpus snapshot -- the weekly-crawl
+    pattern (each new crawl dedups against everything already curated
+    without reprocessing it). Compose with :func:`dedup_exact` for
+    within-batch duplicates: `dedup_exact(dedup_against_seen(new, seen))`.
+
+    seen_df: either a compact hash table carrying `seen_hash_col`
+    (binary, from :func:`content_hash_col` -- persist THAT, 16 bytes
+    per historical doc, not the text), or raw documents (pass
+    seen_text_col and the hash is computed on the fly).
+
+    Plan: one left_anti equi-join on the 16-byte hash. The seen table
+    at crawl scale is ~16 B/doc (10^12 docs -> ~16 TB) -- far past
+    broadcast range, so this is a plain shuffle anti-join both sides
+    keyed on the hash; a re-used bucketed layout on the snapshot table
+    (or a bloom_filter_agg pre-filter to cut the new-batch shuffle)
+    are the standard refinements, noted here and left to the storage
+    layer. Null-text rows pass through (same contract as
+    dedup_exact)."""
+    if seen_text_col is not None:
+        seen_hashes = seen_df.select(
+            content_hash_col(seen_text_col).alias("_seen_hash")
+        )
+    else:
+        seen_hashes = seen_df.select(
+            F.col(seen_hash_col).alias("_seen_hash")
+        )
+    with_text = docs_df.filter(F.col(text_col).isNotNull())
+    null_text = docs_df.filter(F.col(text_col).isNull())
+    kept = with_text.withColumn(
+        "_chash", content_hash_col(text_col)
+    ).join(
+        seen_hashes, F.col("_chash") == F.col("_seen_hash"), "left_anti"
+    ).drop("_chash")
+    return kept.unionByName(null_text)
+
+
 def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
                   sample_mod=None, distinct=True):
     """(id, shingle) via native sequence+substring explode -- no UDF.
@@ -476,20 +524,22 @@ def _delete_hadoop_path(spark, path):
     job but are LOGGED: a silently-failing delete (e.g. a job role with
     write-but-not-delete on the checkpoint bucket) would quietly regrow
     the unbounded per-round accumulation the rotation exists to
-    prevent."""
+    prevent. Returns True iff the filesystem reported the delete
+    done."""
     import logging
 
     try:
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(hpath, True)
+        return bool(fs.delete(hpath, True))
     except Exception as exc:  # cleanup must never fail the job
         logging.getLogger(__name__).warning(
             "checkpoint cleanup failed for %s: %s -- superseded "
             "generations will accumulate until deletes succeed",
             path, exc,
         )
+        return False
 
 
 def _iteration_checkpointer(df, checkpoint_dir):
@@ -551,9 +601,11 @@ def clear_checkpoint_run(result_df=None, run_dir=None, spark=None):
     directory at creation (`return_run_dir=True` on
     connected_components/_star) and pass it here explicitly.
 
-    Returns True iff a directory was actually deleted -- a False from a
-    call that was expected to clean up means the handle was lost, not
-    that cleanup succeeded."""
+    Returns True iff the directory was actually deleted; False means
+    either the handle was lost (no run_dir and no attribute) or the
+    filesystem delete itself failed (already logged by the best-effort
+    deleter) -- callers relying on cleanup should treat False as
+    'generations may be accumulating'."""
     if run_dir is None and result_df is not None:
         run_dir = getattr(result_df, "checkpoint_run_dir", None)
     if not run_dir:
@@ -565,8 +617,7 @@ def clear_checkpoint_run(result_df=None, run_dir=None, spark=None):
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-    _delete_hadoop_path(spark, run_dir)
-    return True
+    return _delete_hadoop_path(spark, run_dir)
 
 
 def connected_components(pairs_df, id_a="id_a", id_b="id_b",

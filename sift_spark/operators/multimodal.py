@@ -191,6 +191,9 @@ def parse_gif(payload):
 
 # SOFn markers carrying frame dimensions; C4/C8/CC are DHT/JPG/DAC
 _JPEG_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# progressive-DCT frames: SOF2/6 (Huffman), SOF10/14 (arithmetic),
+# each in plain and differential form
+_JPEG_PROGRESSIVE_SOF = frozenset({0xC2, 0xC6, 0xCA, 0xCE})
 
 
 def parse_jpeg(payload):
@@ -231,7 +234,7 @@ def parse_jpeg(payload):
                 "height": height,
                 "precision": precision,
                 "n_components": n_comp,
-                "progressive": marker == 0xC2,
+                "progressive": marker in _JPEG_PROGRESSIVE_SOF,
             }
         if marker == 0xDA:  # SOS without a prior SOF: malformed
             break

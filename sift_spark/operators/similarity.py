@@ -137,54 +137,50 @@ def ivf_build(emb_df, n_clusters=16, seed=42, id_col="vec_id",
 
 def ivf_save(index, path):
     """Persist an ivf_build index for reuse across jobs: the assignment
-    table as parquet (distributed write) plus the centroid list as a
-    one-row JSON text file. BOTH halves go through Spark writers, so
-    any Hadoop-capable URI (hdfs://, s3a://, file://) works -- a
-    driver-side open() would silently restrict the sidecar to the
-    driver's local filesystem and leave a half-written index on object
-    stores."""
+    table as parquet (distributed write) plus the centroid list as ONE
+    real JSON file through the Hadoop FileSystem client (plans/fsio) --
+    any Hadoop-capable URI (hdfs://, s3a://, file://) works, and the
+    sidecar is a plain file instead of the round-5 one-row Spark text
+    DIRECTORY (which every reader had to special-case)."""
     import json
+
+    from ..plans.fsio import write_text_file
 
     assigned, centers = index
     assigned.write.mode("overwrite").parquet(path + "/assigned")
     spark = assigned.sparkSession
-    spark.createDataFrame(
-        [(json.dumps(centers),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(path + "/centers")
-    # drop a stale driver-local centers.json from the pre-round-5
-    # format so old readers cannot load outdated centers next to the
-    # fresh index (best-effort; the file only exists locally)
-    import contextlib
-    import os
-
-    with contextlib.suppress(OSError):
-        os.remove(os.path.join(path, "centers.json"))
+    write_text_file(spark, path + "/centers.json", json.dumps(centers))
 
 
 def ivf_load(spark, path):
     """Load an index persisted by :func:`ivf_save`; returns the
     (assigned_df, centers) pair ivf_cosine_topk consumes via `index=`.
-    Falls back to the earlier driver-local centers.json sidecar format
-    so indexes saved before the Spark-IO sidecar remain loadable."""
-    import json
-    import os
 
-    from ..plans.fsio import path_exists
+    Sidecar resolution probes each format EXPLICITLY with fs.exists()
+    (ADVICE r5: catching AnalysisException around the read also
+    swallowed genuine analysis failures -- permissions, corrupt files
+    -- and silently paired fresh assignments with stale centers):
+    `centers.json` is both the current single-file format and,
+    byte-compatibly, the pre-round-5 driver-local format (fsio reads
+    it from any filesystem); the round-5 one-row Spark text DIRECTORY
+    `centers/` remains loadable as the middle generation. A missing
+    sidecar raises with both probed paths; read failures propagate
+    with their real cause."""
+    import json
+
+    from ..plans.fsio import path_exists, read_text_file
 
     assigned = spark.read.parquet(path + "/assigned")
-    # probe for the sidecar EXPLICITLY (ADVICE r5: catching
-    # AnalysisException around the read also swallowed genuine
-    # analysis failures -- permissions, corrupt files -- and silently
-    # paired fresh assignments with a stale legacy centers.json);
-    # only a truly absent new-format sidecar falls back, every other
-    # failure propagates with its real cause
+    if path_exists(spark, path + "/centers.json"):
+        return assigned, json.loads(
+            read_text_file(spark, path + "/centers.json"))
     if path_exists(spark, path + "/centers"):
         row = spark.read.text(path + "/centers").first()
         if row is None:
             raise ValueError(f"empty centers sidecar at {path}/centers")
         return assigned, json.loads(row["value"])
-    with open(os.path.join(path, "centers.json")) as fh:
-        return assigned, json.load(fh)
+    raise FileNotFoundError(
+        f"no centers sidecar at {path}/centers.json or {path}/centers")
 
 
 def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,

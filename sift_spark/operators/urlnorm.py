@@ -59,3 +59,75 @@ def canonical_url_col(col):
     return F.when(
         scheme == "", col  # not an absolute URL: pass through UNTOUCHED
     ).otherwise(F.concat(scheme, F.lit("://"), host, path, qstring))
+
+
+def url_host_col(col):
+    """Lowercase host of an absolute URL -- userinfo and port stripped
+    (the form blocklists and per-site grouping key on); empty string
+    for non-absolute inputs. Native regexp (RE2-compatible: no
+    lookarounds), reproducible in the DuckDB oracle."""
+    return F.lower(
+        F.regexp_extract(
+            F.trim(col),
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1,
+        )
+    )
+
+
+# second-level labels under 2-letter ccTLDs that act as TLD extensions
+# (example.co.uk's registered domain is example.co.uk, not co.uk)
+_CC_SECOND_LEVEL = ("co", "com", "net", "org", "gov", "edu", "ac")
+
+
+def registered_domain_col(host_col):
+    """Registered domain (eTLD+1) of a host by the standard two-rule
+    heuristic: last two labels, or last THREE when the TLD is a
+    2-letter ccTLD and the second-to-last label is a generic extension
+    (co/com/net/org/gov/edu/ac) -- the approximation corpus pipelines
+    use when shipping the full Public Suffix List is not worth it (the
+    PSL changes monthly; the heuristic covers the dominant co.uk /
+    com.au / co.jp class). Hosts with < 3 labels pass through. All
+    native array ops, oracle-reproducible."""
+    host = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    tld = F.element_at(labels, -1)
+    sld = F.element_at(labels, -2)
+    use3 = (
+        (n >= 3) & (F.length(tld) == 2) & sld.isin(*_CC_SECOND_LEVEL)
+    )
+    return F.when(n <= 2, host).otherwise(
+        F.when(
+            use3, F.array_join(F.slice(labels, -3, 3), ".")
+        ).otherwise(F.array_join(F.slice(labels, -2, 2), "."))
+    )
+
+
+def filter_blocked_hosts(docs_df, blocked, url_col="url", by="domain"):
+    """Drop documents whose url host (by='host') or registered domain
+    (by='domain', default -- blocks every subdomain of a listed site)
+    appears in a blocklist -- the standard crawl hygiene gate (UT1-class
+    adult/spam domain lists) run before any content processing so
+    blocked bytes never reach extraction.
+
+    `blocked` is a list of strings or a one-column DataFrame. Plan: the
+    list broadcasts (UT1 is ~4M entries / tens of MB -- comfortably
+    broadcastable; beyond a few hundred MB switch the left_anti to a
+    shuffle join by dropping the broadcast hint) and the anti-join is
+    the only operation -- narrow scan side, no shuffle of the corpus."""
+    if by not in ("host", "domain"):
+        raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
+    spark = docs_df.sparkSession
+    if not isinstance(blocked, type(docs_df)):
+        blocked_df = spark.createDataFrame(
+            [(h,) for h in blocked], ["_blocked"]
+        )
+    else:
+        blocked_df = blocked.toDF("_blocked")
+    blocked_df = blocked_df.select(F.lower(F.trim("_blocked"))
+                                   .alias("_blocked")).distinct()
+    host = url_host_col(F.col(url_col))
+    key = registered_domain_col(host) if by == "domain" else host
+    return docs_df.join(
+        F.broadcast(blocked_df), key == F.col("_blocked"), "left_anti"
+    )

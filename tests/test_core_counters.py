@@ -121,6 +121,8 @@ def test_fallback_pattern_is_engine_portable():
     ]
     for text in cases:
         assert "".join(tok.encode_spans(text)) == text  # spans partition
+        # the count-only fast path must agree with the span list
+        assert tok.count(text) == len(tok.encode_spans(text))
         duck = con.sql(
             "SELECT CAST(coalesce(list_sum(list_transform("
             f"regexp_extract_all(?, '{pattern_sql}'), "

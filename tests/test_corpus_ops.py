@@ -1498,6 +1498,31 @@ def test_curation_job_end_to_end(spark, tmp_path):
         (r["shard"], r["seq_no"]): r["n_tokens"] for r in tokens}
 
 
+def test_curation_mix_null_stratum_metric(spark, tmp_path):
+    """mix_null_stratum reports how many rows ENTER the temperature mix
+    with a null stratum (the rows --mix-default-rate governs), computed
+    by an Observation piggybacked on the rate derivation -- and with
+    default_rate=1.0 those rows all survive to the mixed sink."""
+    from sift_spark.job import run_curation_job
+
+    base = ("a perfectly ordinary english paragraph about the harvest "
+            "and the weather, with commas, sentences and the usual "
+            "words flowing naturally to pass the quality gates. ")
+    rows = [(i, base + f"variant number {i} here.",
+             "web" if i < 3 else None) for i in range(5)]
+    input_dir = str(tmp_path / "mix_in")
+    output_dir = str(tmp_path / "mix_out")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write \
+        .parquet(input_dir)
+    out, metrics = run_curation_job(
+        spark, spark.read.parquet(input_dir), output_dir,
+        temperature_stratum="source", temperature_default_rate=1.0,
+    )
+    assert metrics["mix_null_stratum"] == 2
+    assert metrics["after_mix"] == 5
+    assert out.filter(F.col("source").isNull()).count() == 2
+
+
 def test_curation_span_dedup_stage(spark, tmp_path):
     """--span-k wires ExactSubstr into the curate funnel: a verbatim
     passage shared by two otherwise-distinct surviving docs is cut
@@ -1897,6 +1922,85 @@ def test_duplicated_span_dedup(spark):
     assert row["n_dropped"] == 21 and row["n_words"] == 24
 
 
+def test_url_host_domain_and_blocklist(spark):
+    """Host extraction (userinfo/port stripped), registered-domain
+    heuristic (eTLD+1 with the ccTLD second-level rule), and the
+    broadcast blocklist anti-join: by='domain' blocks every subdomain
+    of a listed site, by='host' only the exact host."""
+    from sift_spark.operators.urlnorm import (
+        filter_blocked_hosts,
+        registered_domain_col,
+        url_host_col,
+    )
+
+    rows = [
+        (1, "https://Sub.Shop.Example.CO.UK/p?x=1"),
+        (2, "http://user:pw@Blog.example.com:8080/post"),
+        (3, "https://example.org/page"),
+        (4, "https://cdn.example.org/asset.js"),
+        (5, "not a url"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["doc_id"]: (r["host"], r["domain"]) for r in docs.select(
+        "doc_id",
+        url_host_col(F.col("url")).alias("host"),
+        registered_domain_col(url_host_col(F.col("url")))
+        .alias("domain"),
+    ).collect()}
+    assert got[1] == ("sub.shop.example.co.uk", "example.co.uk")
+    assert got[2] == ("blog.example.com", "example.com")
+    assert got[3] == ("example.org", "example.org")
+    assert got[4] == ("cdn.example.org", "example.org")
+    assert got[5] == ("", "")
+
+    by_domain = {r["doc_id"] for r in filter_blocked_hosts(
+        docs, ["example.org"], by="domain").collect()}
+    assert by_domain == {1, 2, 5}  # both org hosts blocked
+    by_host = {r["doc_id"] for r in filter_blocked_hosts(
+        docs, ["cdn.example.org"], by="host").collect()}
+    assert by_host == {1, 2, 3, 5}  # only the exact host blocked
+
+    # DataFrame-shaped blocklist + case-insensitive entries
+    bdf = spark.createDataFrame([("EXAMPLE.CO.UK",)], ["host"])
+    assert {r["doc_id"] for r in filter_blocked_hosts(
+        docs, bdf, by="domain").collect()} == {2, 3, 4, 5}
+
+    with pytest.raises(ValueError):
+        filter_blocked_hosts(docs, ["x"], by="path")
+
+
+def test_dedup_against_seen(spark):
+    """Incremental crawl dedup: new-batch docs whose normalized content
+    exists in the prior snapshot's 16-byte hash table are dropped;
+    whitespace/case variants match (same normalization as dedup_exact);
+    null-text rows pass through; raw-doc seen input works too."""
+    from sift_spark.operators.dedup import (
+        content_hash_col,
+        dedup_against_seen,
+    )
+
+    seen_docs = spark.createDataFrame(
+        [(1, "the old document body"), (2, "another archived page")],
+        "doc_id long, text string")
+    snapshot = seen_docs.select(
+        content_hash_col("text").alias("content_hash"))
+
+    new_docs = spark.createDataFrame(
+        [(10, "THE  old document\nbody"),   # normalized match -> drop
+         (11, "a genuinely new document"),
+         (12, None),
+         (13, "another archived page")],    # exact match -> drop
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in
+            dedup_against_seen(new_docs, snapshot).collect()}
+    assert kept == {11, 12}
+
+    # raw-document seen input computes the hashes on the fly
+    kept2 = {r["doc_id"] for r in dedup_against_seen(
+        new_docs, seen_docs, seen_text_col="text").collect()}
+    assert kept2 == kept
+
+
 def test_crawl_curate_end_to_end(spark, tmp_path):
     """One-command crawl-to-loader (VERDICT r5 missing #1): multi-record
     .warc.gz segments go straight to a curated corpus + loader-ready
@@ -1932,6 +2036,13 @@ def test_crawl_curate_end_to_end(spark, tmp_path):
     records2 = [
         ("response", "http://c.example/other", "2024-05-01T00:02:00Z",
          page([third, other[:60] + " entirely new trailing prose here."])),
+        # revisit record: the SAME url crawled again in a later segment
+        # must collapse to one document, not mint a duplicate doc_id
+        ("response", "http://a.example/story", "2024-05-02T00:00:00Z",
+         page([prose, other])),
+        # a blocklisted site: its bytes must never reach extraction
+        ("response", "http://ads.blocked.example/banner",
+         "2024-05-01T00:03:00Z", page([prose])),
     ]
     warc_dir = tmp_path / "segments"
     warc_dir.mkdir()
@@ -1942,11 +2053,14 @@ def test_crawl_curate_end_to_end(spark, tmp_path):
     out_root = str(tmp_path / "corpus")
 
     out, metrics = run_crawl_curate_job(
-        spark, str(warc_dir), out_root, n_parts=4, pack_budget=64)
+        spark, str(warc_dir), out_root, n_parts=4, pack_budget=64,
+        block_hosts=["blocked.example"])
 
-    assert metrics["extracted_docs"] == 3
+    # the blocked subdomain was anti-joined out BEFORE extraction
+    assert metrics["extracted_docs"] == 4  # incl. the revisit record
     assert metrics["extract_errors"] == 0
     assert metrics["html_bytes_in"] > 0
+    # url-level collapse: the revisited url enters curation once
     assert metrics["input"] == 3 and metrics["after_gates"] == 3
     assert metrics["after_dedup"] == 2
     rows = {r["url"]: r["text"] for r in out.collect()}
@@ -1987,7 +2101,8 @@ def test_crawl_curate_end_to_end(spark, tmp_path):
 
     # second invocation resumes: no new extraction work, same corpus
     out2, metrics2 = run_crawl_curate_job(
-        spark, str(warc_dir), out_root, n_parts=4, pack_budget=64)
+        spark, str(warc_dir), out_root, n_parts=4, pack_budget=64,
+        block_hosts=["blocked.example"])
     assert metrics2["extracted_docs"] == 0
     assert out2.count() == 2
 
