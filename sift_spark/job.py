@@ -384,7 +384,10 @@ def run_crawl_curate_job(spark, warc_input, output_root,
       read_warc (sources/warc.py: one task per segment, bounded Arrow
       batches) -> optional blocklist gate (filter_blocked_hosts:
       broadcast anti-join on host/registered domain BEFORE extraction,
-      so blocked bytes never reach the UDF) -> run_extraction_job (salted url-hash partitioning,
+      so blocked bytes never reach the UDF; re-applied over the
+      extracted table too, so a blocklist added or grown between runs
+      still takes effect on segments resume skips) ->
+      run_extraction_job (salted url-hash partitioning,
       per-part lineage + RESUME into `{output_root}_extracted`) ->
       run_curation_job (gates -> PII -> dedup -> decontam -> span ->
       mix -> pack, each optional via `curation_kwargs`) writing the
@@ -433,6 +436,17 @@ def run_crawl_curate_job(spark, warc_input, output_root,
         F.sum("n_docs"), F.sum("n_errors"), F.sum("bytes_in")
     ).first()
     extracted = spark.read.parquet(extracted_dir)
+    if block_hosts is not None:
+        # the gate again over the EXTRACTED table: with resume=True the
+        # pre-extraction gate never sees segments already marked done,
+        # so a blocklist added or grown between runs would otherwise
+        # leave previously-extracted blocked docs in the corpus
+        # (review r6). Cheap: anti-join on the url column of the
+        # extracted text table.
+        from .operators.urlnorm import filter_blocked_hosts
+
+        extracted = filter_blocked_hosts(extracted, block_hosts,
+                                         by=block_by)
     # ONE representative per url before minting ids: a re-crawled or
     # revisited url appears in multiple WARC records, and two docs
     # sharing doc_id = xxhash64(url) would defeat dedup_exact's

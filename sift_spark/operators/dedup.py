@@ -49,8 +49,7 @@ def exact_duplicates(docs_df, id_col="doc_id", text_col="text"):
     compatibility, re-encoded after the agg."""
     hashed = docs_df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.unhex(F.md5(normalized_text_col(F.col(text_col))))
-        .alias("_chash"),
+        content_hash_col(text_col).alias("_chash"),
     )
     return hashed.groupBy("_chash").agg(
         F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id")
@@ -67,7 +66,7 @@ def dedup_exact(docs_df, id_col="doc_id", text_col="text"):
     null_text = docs_df.filter(F.col(text_col).isNull())
     # 16-byte binary key: the hash exists only to be shuffled on
     hashed = with_text.withColumn(
-        "content_hash", F.unhex(F.md5(normalized_text_col(F.col(text_col))))
+        "content_hash", content_hash_col(text_col)
     )
     keep = hashed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     kept = hashed.join(keep, ["content_hash", id_col]).drop("content_hash")
@@ -109,9 +108,24 @@ def dedup_against_seen(docs_df, seen_df, id_col="doc_id",
             content_hash_col(seen_text_col).alias("_seen_hash")
         )
     else:
-        seen_hashes = seen_df.select(
-            F.col(seen_hash_col).alias("_seen_hash")
-        )
+        # accept BOTH hash encodings this codebase emits: 16-byte
+        # binary (content_hash_col) and lowercase hex strings
+        # (exact_duplicates' oracle-facing column). Without the unhex,
+        # Spark would implicitly cast the hex STRING to the UTF-8
+        # bytes of the text, the join would match nothing, and the
+        # incremental dedup would silently no-op (review r6 finding,
+        # verified live). Any other dtype is a caller error.
+        seen_field = seen_df.schema[seen_hash_col]
+        if isinstance(seen_field.dataType, T.BinaryType):
+            seen_key = F.col(seen_hash_col)
+        elif isinstance(seen_field.dataType, T.StringType):
+            seen_key = F.unhex(F.col(seen_hash_col))
+        else:
+            raise ValueError(
+                f"seen hash column {seen_hash_col!r} must be binary "
+                f"or hex string, got {seen_field.dataType}"
+            )
+        seen_hashes = seen_df.select(seen_key.alias("_seen_hash"))
     with_text = docs_df.filter(F.col(text_col).isNotNull())
     null_text = docs_df.filter(F.col(text_col).isNull())
     kept = with_text.withColumn(

@@ -143,13 +143,26 @@ def ivf_save(index, path):
     sidecar is a plain file instead of the round-5 one-row Spark text
     DIRECTORY (which every reader had to special-case)."""
     import json
+    import logging
 
-    from ..plans.fsio import write_text_file
+    from ..plans.fsio import delete_path, path_exists, write_text_file
 
     assigned, centers = index
     assigned.write.mode("overwrite").parquet(path + "/assigned")
     spark = assigned.sparkSession
     write_text_file(spark, path + "/centers.json", json.dumps(centers))
+    # retire a superseded round-5 sidecar DIRECTORY: ivf_load probes
+    # centers.json first, but if that file were later lost, a stale
+    # centers/ left behind would silently pair fresh assignments with
+    # old centroids (review r6); delete it after the new sidecar is
+    # safely written
+    if path_exists(spark, path + "/centers"):
+        if not delete_path(spark, path + "/centers"):
+            logging.getLogger(__name__).warning(
+                "could not delete superseded sidecar %s/centers -- "
+                "remove it manually; centers.json takes precedence "
+                "while both exist", path,
+            )
 
 
 def ivf_load(spark, path):

@@ -119,13 +119,20 @@ def filter_blocked_hosts(docs_df, blocked, url_col="url", by="domain"):
         raise ValueError(f"by must be 'host' or 'domain', got {by!r}")
     spark = docs_df.sparkSession
     if not isinstance(blocked, type(docs_df)):
+        # explicit schema: an empty programmatic list must be a no-op,
+        # not a CANNOT_INFER_EMPTY_SCHEMA crash (review r6, verified)
         blocked_df = spark.createDataFrame(
-            [(h,) for h in blocked], ["_blocked"]
+            [(h,) for h in blocked], "_blocked string"
         )
     else:
         blocked_df = blocked.toDF("_blocked")
-    blocked_df = blocked_df.select(F.lower(F.trim("_blocked"))
-                                   .alias("_blocked")).distinct()
+    # drop blank entries: a blank line in a hand-edited UT1 file would
+    # otherwise equi-join the '' that url_host_col yields for every
+    # malformed/non-absolute url and silently delete those records
+    # (review r6, verified live)
+    blocked_df = blocked_df.select(
+        F.lower(F.trim("_blocked")).alias("_blocked")
+    ).filter(F.col("_blocked") != "").distinct()
     host = url_host_col(F.col(url_col))
     key = registered_domain_col(host) if by == "domain" else host
     return docs_df.join(

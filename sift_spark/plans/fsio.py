@@ -26,6 +26,23 @@ def path_exists(spark, path):
     return bool(fs.exists(jpath))
 
 
+def delete_path(spark, path):
+    """Best-effort recursive delete; returns True iff the filesystem
+    reported the delete done (False covers both 'did not exist' and
+    'delete failed' -- callers that must distinguish should probe with
+    path_exists first)."""
+    import logging
+
+    try:
+        fs, jpath = _fs_and_path(spark, path)
+        return bool(fs.delete(jpath, True))
+    except Exception as exc:
+        logging.getLogger(__name__).warning(
+            "delete failed for %s: %s", path, exc
+        )
+        return False
+
+
 def write_text_file(spark, path, text):
     """Write `text` as ONE real file at `path` (overwriting), on
     whatever filesystem the path names."""

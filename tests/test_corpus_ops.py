@@ -653,6 +653,30 @@ def test_ivf_save_load_roundtrip(spark, embeddings, tmp_path):
     legacy = ivf_load(spark, str(old))
     assert legacy[1] == index[1]
 
+    # round-5 format (one-row Spark text DIRECTORY) still loads...
+    r5 = str(tmp_path / "ivf_r5")
+    index[0].write.mode("overwrite").parquet(r5 + "/assigned")
+    spark.createDataFrame([(json.dumps(index[1]),)], "value string") \
+        .coalesce(1).write.mode("overwrite").text(r5 + "/centers")
+    assert ivf_load(spark, r5)[1] == index[1]
+
+    # ...and RE-SAVING over it retires the stale centers/ directory so
+    # it can never shadow a lost centers.json later (review r6)
+    other = ([list(c) for c in index[1]][::-1]
+             if len(index[1]) > 1 else index[1])
+    ivf_save((index[0], other), r5)
+    import os
+
+    assert not os.path.exists(r5 + "/centers")
+    assert ivf_load(spark, r5)[1] == other
+
+    # a missing sidecar raises with the probed paths, never a silent
+    # fallback
+    bare = str(tmp_path / "ivf_bare")
+    index[0].write.mode("overwrite").parquet(bare + "/assigned")
+    with pytest.raises(FileNotFoundError):
+        ivf_load(spark, bare)
+
 
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches the per-iteration lineage cut from
@@ -1968,6 +1992,15 @@ def test_url_host_domain_and_blocklist(spark):
     with pytest.raises(ValueError):
         filter_blocked_hosts(docs, ["x"], by="path")
 
+    # review r6 regressions: a blank blocklist line must not delete
+    # every malformed-url record (url_host_col('') == ''), and an
+    # empty programmatic list is a no-op, not a schema-inference crash
+    with_blank = {r["doc_id"] for r in filter_blocked_hosts(
+        docs, ["example.org", "", "  "], by="domain").collect()}
+    assert 5 in with_blank  # the non-url row survives
+    assert {r["doc_id"] for r in
+            filter_blocked_hosts(docs, []).collect()} == {1, 2, 3, 4, 5}
+
 
 def test_dedup_against_seen(spark):
     """Incremental crawl dedup: new-batch docs whose normalized content
@@ -1999,6 +2032,23 @@ def test_dedup_against_seen(spark):
     kept2 = {r["doc_id"] for r in dedup_against_seen(
         new_docs, seen_docs, seen_text_col="text").collect()}
     assert kept2 == kept
+
+    # a snapshot persisted from exact_duplicates carries lowercase-HEX
+    # string hashes under the same column name; they must unhex-match,
+    # not silently no-op via Spark's implicit string->binary cast
+    # (review r6 finding)
+    from sift_spark.operators.dedup import exact_duplicates
+
+    hex_snapshot = exact_duplicates(seen_docs).select("content_hash")
+    kept3 = {r["doc_id"] for r in
+             dedup_against_seen(new_docs, hex_snapshot).collect()}
+    assert kept3 == kept
+
+    # any other dtype is a loud caller error, not a silent miss
+    with pytest.raises(ValueError):
+        dedup_against_seen(
+            new_docs,
+            seen_docs.select(F.col("doc_id").alias("content_hash")))
 
 
 def test_crawl_curate_end_to_end(spark, tmp_path):
@@ -2105,6 +2155,17 @@ def test_crawl_curate_end_to_end(spark, tmp_path):
         block_hosts=["blocked.example"])
     assert metrics2["extracted_docs"] == 0
     assert out2.count() == 2
+
+    # a blocklist GROWN after extraction still applies on resume: the
+    # pre-extraction gate never sees completed segments, so the same
+    # gate re-runs over the extracted table (review r6)
+    out3, metrics3 = run_crawl_curate_job(
+        spark, str(warc_dir), out_root, n_parts=4, pack_budget=64,
+        block_hosts=["blocked.example", "c.example"])
+    assert metrics3["extracted_docs"] == 0  # still fully resumed
+    urls3 = {r["url"] for r in out3.collect()}
+    assert "http://c.example/other" not in urls3
+    assert len(urls3) == 1
 
 
 def test_span_dedup_preserves_whitespace(spark):
