@@ -416,6 +416,7 @@ def run_crawl_curate_job(spark, warc_input, output_root,
     it is a corpus-global computation (dedup keepers, span owners
     depend on every row), so partial curation cannot be resumed
     per-part by construction."""
+    from .operators.urlnorm import filter_blocked_hosts
     from .sources.warc import read_warc
 
     extracted_dir = output_root + "_extracted"
@@ -424,8 +425,6 @@ def run_crawl_curate_job(spark, warc_input, output_root,
         # crawl hygiene gate FIRST: blocked sites' bytes never reach
         # the extraction UDF (broadcast anti-join on the registered
         # domain by default -- blocks every subdomain)
-        from .operators.urlnorm import filter_blocked_hosts
-
         pages = filter_blocked_hosts(pages, block_hosts, by=block_by)
     lineage_metrics = run_extraction_job(
         spark, pages, extracted_dir, params=params, n_parts=n_parts,
@@ -443,8 +442,6 @@ def run_crawl_curate_job(spark, warc_input, output_root,
         # leave previously-extracted blocked docs in the corpus
         # (review r6). Cheap: anti-join on the url column of the
         # extracted text table.
-        from .operators.urlnorm import filter_blocked_hosts
-
         extracted = filter_blocked_hosts(extracted, block_hosts,
                                          by=block_by)
     # ONE representative per url before minting ids: a re-crawled or

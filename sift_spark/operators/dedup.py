@@ -115,7 +115,18 @@ def dedup_against_seen(docs_df, seen_df, id_col="doc_id",
         # bytes of the text, the join would match nothing, and the
         # incremental dedup would silently no-op (review r6 finding,
         # verified live). Any other dtype is a caller error.
-        seen_field = seen_df.schema[seen_hash_col]
+        # resolve the column case-insensitively (Spark's own column
+        # resolution is case-insensitive by default; schema[] is not)
+        # and turn a miss into the contract's loud ValueError
+        seen_field = next(
+            (f for f in seen_df.schema.fields
+             if f.name.lower() == seen_hash_col.lower()), None,
+        )
+        if seen_field is None:
+            raise ValueError(
+                f"seen hash column {seen_hash_col!r} not found in "
+                f"seen_df (columns: {seen_df.columns})"
+            )
         if isinstance(seen_field.dataType, T.BinaryType):
             seen_key = F.col(seen_hash_col)
         elif isinstance(seen_field.dataType, T.StringType):
@@ -539,21 +550,20 @@ def _delete_hadoop_path(spark, path):
     write-but-not-delete on the checkpoint bucket) would quietly regrow
     the unbounded per-round accumulation the rotation exists to
     prevent. Returns True iff the filesystem reported the delete
-    done."""
+    done. Delegates to plans/fsio.delete_path (ONE copy of the
+    best-effort Hadoop delete) and adds the checkpoint-specific
+    accumulation warning."""
     import logging
 
-    try:
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.delete(hpath, True))
-    except Exception as exc:  # cleanup must never fail the job
+    from ..plans.fsio import delete_path
+
+    done = delete_path(spark, path)
+    if not done:
         logging.getLogger(__name__).warning(
-            "checkpoint cleanup failed for %s: %s -- superseded "
-            "generations will accumulate until deletes succeed",
-            path, exc,
+            "checkpoint cleanup did not delete %s -- superseded "
+            "generations will accumulate until deletes succeed", path,
         )
-        return False
+    return done
 
 
 def _iteration_checkpointer(df, checkpoint_dir):

@@ -155,14 +155,21 @@ def ivf_save(index, path):
     # centers.json first, but if that file were later lost, a stale
     # centers/ left behind would silently pair fresh assignments with
     # old centroids (review r6); delete it after the new sidecar is
-    # safely written
-    if path_exists(spark, path + "/centers"):
-        if not delete_path(spark, path + "/centers"):
+    # safely written. The whole cleanup is best-effort -- the index IS
+    # saved at this point, so not even a failing exists() probe may
+    # fail the save (review r6 pass 3).
+    try:
+        stale = path_exists(spark, path + "/centers")
+        if stale and not delete_path(spark, path + "/centers"):
             logging.getLogger(__name__).warning(
                 "could not delete superseded sidecar %s/centers -- "
                 "remove it manually; centers.json takes precedence "
                 "while both exist", path,
             )
+    except Exception as exc:
+        logging.getLogger(__name__).warning(
+            "sidecar cleanup probe failed for %s/centers: %s", path, exc,
+        )
 
 
 def ivf_load(spark, path):

@@ -133,8 +133,15 @@ def filter_blocked_hosts(docs_df, blocked, url_col="url", by="domain"):
     blocked_df = blocked_df.select(
         F.lower(F.trim("_blocked")).alias("_blocked")
     ).filter(F.col("_blocked") != "").distinct()
-    host = url_host_col(F.col(url_col))
-    key = registered_domain_col(host) if by == "domain" else host
-    return docs_df.join(
-        F.broadcast(blocked_df), key == F.col("_blocked"), "left_anti"
-    )
+    # materialize the host ONCE before deriving the key: inlining
+    # url_host_col into registered_domain_col's CASE branches would
+    # re-evaluate the host regexp ~8x per corpus row inside the join
+    # key (same CollapseProject behavior the char_shingles two-step
+    # guards against)
+    with_key = docs_df.withColumn("_bl_host", url_host_col(F.col(url_col)))
+    key = (registered_domain_col(F.col("_bl_host")) if by == "domain"
+           else F.col("_bl_host"))
+    return with_key.withColumn("_bl_key", key).join(
+        F.broadcast(blocked_df),
+        F.col("_bl_key") == F.col("_blocked"), "left_anti",
+    ).drop("_bl_host", "_bl_key")

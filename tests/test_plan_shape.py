@@ -270,3 +270,42 @@ def test_materialize_packed_sequences_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert count_nodes(plan, "FlatMapGroupsInPandas") == 2
     assert count_nodes(plan, "Exchange") <= 4
+
+
+def test_blocklist_gate_broadcasts_and_stays_narrow(spark):
+    """filter_blocked_hosts: the blocklist side broadcasts (UT1-class
+    lists are tens of MB) and the corpus side must NOT shuffle -- the
+    gate is a narrow anti-join a crawl can afford before extraction."""
+    from sift_spark.operators.urlnorm import filter_blocked_hosts
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.example/x"), (2, "https://b.example/y")],
+        ["doc_id", "url"])
+    plan = plan_of(filter_blocked_hosts(docs, ["b.example"]))
+    assert count_nodes(plan, "BroadcastHashJoin") == 1
+    assert "LeftAnti" in plan
+    # the ONLY exchange is the tiny blocklist's own distinct; the
+    # corpus side is projections straight into the join
+    assert count_nodes(plan, "Exchange") <= 1
+    assert "hashpartitioning(_blocked" in plan or \
+        count_nodes(plan, "Exchange") == 0
+    # host regexp evaluated once per row (two-step projection), not
+    # inlined ~8x into the domain CASE inside the join key
+    assert plan.count("regexp_extract") <= 2
+
+
+def test_span_dedup_rolling_plan_shape(spark):
+    """duplicated_span_dedup (rolling): two Arrow-batched kernels (the
+    O(n) window hasher + the excision pass), equi-joins only, and the
+    shuffle count bounded at the three key families (window-hash
+    window, per-doc position groupBy, join back to the text)."""
+    from sift_spark.operators.dedup import duplicated_span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+        ["doc_id", "text"])
+    plan = plan_of(duplicated_span_dedup(docs, k=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert count_nodes(plan, "ArrowEvalPython") == 2
+    assert count_nodes(plan, "Exchange") <= 4
