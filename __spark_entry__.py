@@ -664,15 +664,57 @@ def _q_repetition_profile(spark, sf_dir):
 
 
 def _q_gopher_rules(spark, sf_dir):
-    """Gopher document-quality rules (Rae et al. 2021 A1.1) as native
-    boolean columns per document -- the public-standard web-corpus
-    filter set, each rule SQL-mirrored in the oracle."""
-    from sift_spark.operators.textstats import gopher_rules_cols
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) PLUS the
+    C4 heuristics (Raffel et al. 2020 §2.2) as native boolean columns
+    per document -- the two canonical public web-corpus filter sets,
+    each rule SQL-mirrored in the oracle. Also carries the C4 LINE
+    filter's result as (n_lines, n_kept, md5 of the cleaned text) --
+    value-sensitive coverage of the line transform in the same row
+    (gate is at its 50-row cap; widening beats a new slot)."""
+    from sift_spark.operators.textstats import (
+        c4_line_clean_col,
+        c4_rules_cols,
+        gopher_rules_cols,
+    )
 
     docs = _docs(spark, sf_dir)
     rules = gopher_rules_cols(F.col("text"))
+    # the synthetic fixture docs are single-line and punctuation-free,
+    # so the C4 family runs over a deterministic doc_id-derived
+    # line-structured construction (the pii-row pattern): a kept
+    # sentence line, a punctuation-less fragment of the real text
+    # (dropped), a short terminal line (dropped: < 5 words), a
+    # lorem/brace line on id strides (flipping the doc rules), and a
+    # kept closing question line. The oracle performs the identical
+    # concat.
+    did = F.col("doc_id").cast("string")
+    c4_text = F.concat(
+        F.lit("Sentence one about doc "), did,
+        F.lit(". It continues with enough words here.\n"),
+        F.substring(F.col("text"), 1, 40), F.lit("\n"),
+        F.lit("short line.\n"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("lorem ipsum placeholder text appears right here.\n"),
+        ).otherwise(
+            F.lit("An ordinary prose line with plenty of words here.\n")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("code { block } stray fragment\n"),
+        ).otherwise(F.lit("")),
+        F.lit("Is this the final question line for doc "), did,
+        F.lit("?"),
+    )
+    c4 = c4_rules_cols(c4_text)
+    clean = c4_line_clean_col(c4_text, min_words_per_line=5)
     return docs.select(
-        "doc_id", *[expr.alias(name) for name, expr in rules.items()]
+        "doc_id",
+        *[expr.alias(name) for name, expr in rules.items()],
+        *[expr.alias(name) for name, expr in c4.items()],
+        clean["n_lines"].alias("c4_n_lines"),
+        clean["n_kept"].alias("c4_n_kept"),
+        F.md5(clean["text_clean"]).alias("c4_clean_md5"),
     )
 
 
@@ -2269,7 +2311,49 @@ def oracle_sql() -> dict[str, str]:
                             'with'])) AS stop_hits
                 FROM feat
             )
-            SELECT doc_id,
+            , c4src AS (
+                SELECT doc_id,
+                       'Sentence one about doc ' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '. It continues with enough words here.' ||
+                       chr(10) || substr(text, 1, 40) || chr(10) ||
+                       'short line.' || chr(10) ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'lorem ipsum placeholder text ' ||
+                                 'appears right here.' || chr(10)
+                            ELSE 'An ordinary prose line with ' ||
+                                 'plenty of words here.' || chr(10)
+                       END ||
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'code { block } stray fragment'
+                                 || chr(10)
+                            ELSE '' END ||
+                       'Is this the final question line for doc ' ||
+                       CAST(doc_id AS VARCHAR) || '?' AS ctext
+                FROM documents
+            ),
+            c4 AS (
+                SELECT doc_id,
+                       length(ctext) - length(regexp_replace(ctext,
+                           '[.!?]', '', 'g')) AS n_terminal,
+                       NOT contains(lower(ctext), 'lorem ipsum')
+                           AS rule_no_lorem,
+                       NOT contains(ctext, '{') AS rule_no_brace,
+                       regexp_split_to_array(ctext, '\n') AS all_lines
+                FROM c4src
+            ),
+            c4l AS (
+                SELECT doc_id,
+                       len(all_lines) AS c4_n_lines,
+                       list_filter(all_lines, ln ->
+                           len(list_filter(regexp_split_to_array(
+                               trim(ln), '[ \t\r\f]+'), w -> w <> ''))
+                               >= 5
+                           AND regexp_matches(trim(ln), '[.!?"]$'))
+                           AS kept_lines
+                FROM c4
+            )
+            SELECT m.doc_id,
                    n_words >= 50 AND n_words <= 100000 AS rule_word_count,
                    mean_wl >= 3.0 AND mean_wl <= 10.0
                        AS rule_mean_word_len,
@@ -2281,8 +2365,19 @@ def oracle_sql() -> dict[str, str]:
                    AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
                    AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
                    AND alpha_ratio >= 0.8 AND stop_hits >= 2
-                       AS passes_gopher
+                       AS passes_gopher,
+                   c4.n_terminal >= 3 AS rule_min_sentences,
+                   c4.rule_no_lorem,
+                   c4.rule_no_brace,
+                   c4.n_terminal >= 3 AND c4.rule_no_lorem
+                       AND c4.rule_no_brace AS passes_c4,
+                   CAST(c4l.c4_n_lines AS BIGINT) AS c4_n_lines,
+                   CAST(len(c4l.kept_lines) AS BIGINT) AS c4_n_kept,
+                   md5(coalesce(array_to_string(c4l.kept_lines,
+                       chr(10)), '')) AS c4_clean_md5
             FROM m
+            JOIN c4 ON c4.doc_id = m.doc_id
+            JOIN c4l ON c4l.doc_id = m.doc_id
         """,
         "pii_redact": _pii_oracle_sql(),
         "decontaminate": _DECONTAM_SQL,

@@ -157,6 +157,64 @@ def gopher_rules_cols(col, min_words=50, max_words=100_000,
     return rules
 
 
+def c4_rules_cols(col, min_sentences=3):
+    """C4 document-level heuristics (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2 -- the other canonical public web-corpus filter
+    set next to Gopher) as native boolean columns:
+
+      >= 3 sentences (approximated portably as >= 3 terminal-
+      punctuation characters -- the paper's sentence splitter is an
+      unpublished heuristic, and a punct count is the SQL-reproducible
+      stand-in); no "lorem ipsum" placeholder text; no '{' (code
+      leakage into prose pages).
+
+    The paper's bad-words page filter is deliberately NOT here: word
+    blocklists are a policy input, not an engine constant (compose
+    with a benchmark-style broadcast list if needed). Returns rule
+    name -> boolean column plus 'passes_c4'."""
+    n_terminal = F.length(col) - F.length(
+        F.regexp_replace(col, r"[.!?]", "")
+    )
+    rules = {
+        "rule_min_sentences": n_terminal >= min_sentences,
+        "rule_no_lorem": ~F.lower(col).contains("lorem ipsum"),
+        "rule_no_brace": ~col.contains("{"),
+    }
+    passes = None
+    for rule in rules.values():
+        passes = rule if passes is None else (passes & rule)
+    rules["passes_c4"] = passes
+    return rules
+
+
+def c4_line_clean_col(col, min_words_per_line=5):
+    """C4's LINE filter (Raffel et al. 2020 §2.2) as a native column
+    transform: keep only lines that end in terminal punctuation
+    (./!/?/closing quote) and carry at least `min_words_per_line`
+    words; survivors rejoin with '\\n' in document order. Entirely
+    narrow -- array ops inside whole-stage codegen, no shuffle, no
+    UDF -- so it composes into any scan-side projection for free.
+    Returns struct(text_clean, n_lines, n_kept)."""
+    lines = F.split(col, r"\n")
+    trimmed = lambda ln: F.trim(ln)  # noqa: E731
+
+    def keeps(ln):
+        words = F.filter(
+            F.split(trimmed(ln), r"[ \t\r\f]+"), lambda w: w != ""
+        )
+        return (F.size(words) >= min_words_per_line) & trimmed(ln).rlike(
+            r'[.!?"]$'
+        )
+
+    kept = F.filter(lines, keeps)
+    return F.struct(
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
 def repetition_profile(docs_df, id_col="doc_id", text_col="text"):
     """Within-document repetition metrics (the other half of the Gopher
     filter set): duplicate-word fraction, most-frequent-word share, and

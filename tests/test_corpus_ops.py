@@ -1006,6 +1006,50 @@ def test_canonical_url_rules(spark):
         assert got[url] == want, url
 
 
+def test_c4_rules_and_line_clean(spark):
+    """C4 heuristics (Raffel et al. 2020 sec 2.2): the doc rules trip on
+    lorem ipsum / braces / too few sentences, and the line filter keeps
+    exactly the lines that end in terminal punctuation AND carry >= 5
+    words, rejoined in order."""
+    from sift_spark.operators.textstats import (
+        c4_line_clean_col,
+        c4_rules_cols,
+    )
+
+    good = ("The first sentence is long enough to survive the filter.\n"
+            "too short.\n"
+            "this line has many words but no terminal punctuation\n"
+            "Another proper sentence closes with a question mark?\n"
+            "- bullet fragment")
+    docs = spark.createDataFrame(
+        [(1, good),
+         (2, "Fine start. But Lorem Ipsum dolor sit amet. Third one."),
+         (3, "A config { nested } block. Two sentences. Three now."),
+         (4, "no terminal punctuation at all in this text")],
+        ["doc_id", "text"])
+    rules = c4_rules_cols(F.col("text"))
+    clean = c4_line_clean_col(F.col("text"))
+    out = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in rules.items()],
+        clean.alias("c"),
+    ).collect()}
+
+    assert out[1]["passes_c4"]
+    assert not out[2]["rule_no_lorem"] and not out[2]["passes_c4"]
+    assert not out[3]["rule_no_brace"]
+    assert out[3]["rule_min_sentences"]
+    assert not out[4]["rule_min_sentences"]
+
+    c = out[1]["c"]
+    assert c["n_lines"] == 5 and c["n_kept"] == 2
+    assert c["text_clean"] == (
+        "The first sentence is long enough to survive the filter.\n"
+        "Another proper sentence closes with a question mark?")
+    # a doc with nothing keepable cleans to the empty string
+    assert out[4]["c"]["text_clean"] == "" and out[4]["c"]["n_kept"] == 0
+
+
 def test_gopher_rules_pass_and_fail(spark):
     """Gopher rules: a healthy English paragraph passes all six; each
     crafted pathology trips exactly its rule."""
