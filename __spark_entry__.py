@@ -2339,7 +2339,8 @@ def oracle_sql() -> dict[str, str]:
                        NOT contains(lower(ctext), 'lorem ipsum')
                            AS rule_no_lorem,
                        NOT contains(ctext, '{') AS rule_no_brace,
-                       regexp_split_to_array(ctext, '\n') AS all_lines
+                       regexp_split_to_array(ctext, '\r?\n')
+                           AS all_lines
                 FROM c4src
             ),
             c4l AS (
@@ -2347,9 +2348,10 @@ def oracle_sql() -> dict[str, str]:
                        len(all_lines) AS c4_n_lines,
                        list_filter(all_lines, ln ->
                            len(list_filter(regexp_split_to_array(
-                               trim(ln), '[ \t\r\f]+'), w -> w <> ''))
+                               ln, '[ \t\r\f]+'), w -> w <> ''))
                                >= 5
-                           AND regexp_matches(trim(ln), '[.!?"]$'))
+                           AND regexp_matches(ln,
+                               '[.!?"][ \t\r\f]*$'))
                            AS kept_lines
                 FROM c4
             )

@@ -104,6 +104,15 @@ def quality_cols(col):
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _all_rules_pass(rules):
+    """AND-fold a rule dict into one boolean column (shared by the
+    Gopher and C4 builders so pass-aggregation semantics live once)."""
+    passes = None
+    for rule in rules.values():
+        passes = rule if passes is None else (passes & rule)
+    return passes
+
+
 def gopher_rules_cols(col, min_words=50, max_words=100_000,
                       min_mean_word_len=3.0, max_mean_word_len=10.0,
                       max_bullet_ratio=0.9, max_ellipsis_ratio=0.3,
@@ -150,10 +159,7 @@ def gopher_rules_cols(col, min_words=50, max_words=100_000,
         "rule_alpha_words": alpha_ratio >= min_alpha_word_ratio,
         "rule_stopwords": stop_hits >= min_stopword_hits,
     }
-    passes = None
-    for rule in rules.values():
-        passes = rule if passes is None else (passes & rule)
-    rules["passes_gopher"] = passes
+    rules["passes_gopher"] = _all_rules_pass(rules)
     return rules
 
 
@@ -181,30 +187,34 @@ def c4_rules_cols(col, min_sentences=3):
         "rule_no_lorem": ~F.lower(col).contains("lorem ipsum"),
         "rule_no_brace": ~col.contains("{"),
     }
-    passes = None
-    for rule in rules.values():
-        passes = rule if passes is None else (passes & rule)
-    rules["passes_c4"] = passes
+    rules["passes_c4"] = _all_rules_pass(rules)
     return rules
 
 
 def c4_line_clean_col(col, min_words_per_line=5):
     """C4's LINE filter (Raffel et al. 2020 §2.2) as a native column
     transform: keep only lines that end in terminal punctuation
-    (./!/?/closing quote) and carry at least `min_words_per_line`
-    words; survivors rejoin with '\\n' in document order. Entirely
-    narrow -- array ops inside whole-stage codegen, no shuffle, no
-    UDF -- so it composes into any scan-side projection for free.
-    Returns struct(text_clean, n_lines, n_kept)."""
-    lines = F.split(col, r"\n")
-    trimmed = lambda ln: F.trim(ln)  # noqa: E731
+    (./!/?/closing quote, trailing whitespace tolerated) and carry at
+    least `min_words_per_line` words; survivors rejoin with '\\n' in
+    document order. Entirely narrow -- array ops inside whole-stage
+    codegen, no shuffle, no UDF -- so it composes into any scan-side
+    projection for free. Returns struct(text_clean, n_lines, n_kept).
+
+    Engine portability (review r6 pass 4, verified divergence): lines
+    split on '\\r?\\n' so CRLF input sheds its '\\r' instead of
+    smuggling it into text_clean, and the terminal check tolerates
+    trailing whitespace VIA THE REGEX rather than trim() -- Java trim
+    strips all control chars <= 0x20 while DuckDB trim strips spaces
+    only, so a trim-based check silently disagrees across engines on
+    '\\t'/'\\r' tails."""
+    lines = F.split(col, r"\r?\n")
 
     def keeps(ln):
         words = F.filter(
-            F.split(trimmed(ln), r"[ \t\r\f]+"), lambda w: w != ""
+            F.split(ln, r"[ \t\r\f]+"), lambda w: w != ""
         )
-        return (F.size(words) >= min_words_per_line) & trimmed(ln).rlike(
-            r'[.!?"]$'
+        return (F.size(words) >= min_words_per_line) & ln.rlike(
+            r'[.!?"][ \t\r\f]*$'
         )
 
     kept = F.filter(lines, keeps)

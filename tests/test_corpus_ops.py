@@ -1049,6 +1049,18 @@ def test_c4_rules_and_line_clean(spark):
     # a doc with nothing keepable cleans to the empty string
     assert out[4]["c"]["text_clean"] == "" and out[4]["c"]["n_kept"] == 0
 
+    # CRLF input: '\r' is shed by the split, the terminal check still
+    # matches, and the cleaned text carries no stray carriage returns
+    # (review r6 pass 4 -- Java vs RE2 '$'/trim semantics diverged)
+    crlf = ("A first windows line with enough words here.\r\n"
+            "fragment\r\n"
+            "The second proper sentence also survives the cut.\r\n")
+    row = spark.createDataFrame([(9, crlf)], ["doc_id", "text"]).select(
+        c4_line_clean_col(F.col("text")).alias("c")).first()["c"]
+    assert row["n_kept"] == 2
+    assert "\r" not in row["text_clean"]
+    assert row["text_clean"].startswith("A first windows line")
+
 
 def test_gopher_rules_pass_and_fail(spark):
     """Gopher rules: a healthy English paragraph passes all six; each
