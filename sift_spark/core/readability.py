@@ -158,13 +158,18 @@ def _is_unlikely(node):
     )
 
 
-def extract_article(root):
+def extract_article(root, scores_out=None):
     """Return the extracted article subtree (a Node), or None.
 
     MUTATES the parsed tree (noise stripping + re-parenting the winning
     candidate and merged siblings out of it); callers parse fresh per
     document, so no defensive whole-tree clone is paid. The returned
     subtree holds the detached originals, not clones.
+
+    scores_out: optional dict the caller supplies to receive the final
+    per-candidate scores keyed by id(node) (link-density-scaled) --
+    the node-table operator exports them as features; extraction
+    behavior is unchanged.
     """
     body = _find_body(root)
     if body is None:
@@ -213,6 +218,8 @@ def extract_article(root):
         scores[key] = final
         if final > best_score:
             best_key, best_score = key, final
+    if scores_out is not None:
+        scores_out.update(scores)
 
     top = nodes[best_key]
 

@@ -194,3 +194,134 @@ def extract_markdown(pages_df, params: SiftParams | None = None):
         F.col("r.text").alias("text_md"),
         F.col("r.error").alias("error"),
     )
+
+
+NODE_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("node_id", T.IntegerType()),
+        T.StructField("parent_id", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("text_len", T.IntegerType()),
+        T.StructField("link_len", T.IntegerType()),
+        T.StructField("link_density", T.DoubleType()),
+        T.StructField("class_weight", T.DoubleType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("in_article", T.BooleanType()),
+    ]
+)
+
+
+def html_node_table(pages_df, url_col="url", html_col="html"):
+    """The north rule's DOM NODE TABLE as a first-class DataFrame: one
+    row per element node with the readability features (subtree text /
+    link lengths via the same O(n) bottom-up tables the extractor
+    uses, link density, class/id weight, the final link-density-scaled
+    candidate score where one was computed) and an `in_article` label
+    marking the nodes the readability extractor actually selected.
+
+    The extraction UDF keeps this table INTERNAL on the hot path (the
+    plan stays one narrow black-box stage; SURVEY §4.2) -- this
+    operator EXPORTS it for the jobs that want node rows rather than
+    extracted text: feature extraction for a learned boilerplate
+    classifier (features + the readability decision as a weak label),
+    extraction debugging, and DOM-shape corpus analytics. Same
+    Arrow-batched mapInPandas shape as the extractor; node ids are
+    pre-order ordinals, stable per document.
+
+    Unparseable/oversized pages yield zero rows here (this is a
+    feature surface, not the accounting path -- the extraction job's
+    error column remains the audit trail)."""
+    from ..core.htmlparser import parse as parse_html
+    from ..core.readability import (
+        _class_weight,
+        _density_tables,
+        _link_density,
+        extract_article,
+    )
+
+    def node_rows(iterator):
+        for pdf in iterator:
+            out = {name: [] for name in NODE_TABLE_SCHEMA.names}
+            for url, raw in zip(pdf[url_col], pdf[html_col]):
+                if raw is None or len(raw) > MAX_HTML_BYTES:
+                    continue
+                try:
+                    root = parse_html(_decode(raw))
+                except Exception:
+                    continue
+                ordinals = {}
+                nodes = []
+                for node in root.iter_elements():
+                    if node.parent is None:
+                        continue  # the parser's synthetic root
+                    ordinals[id(node)] = len(ordinals)
+                    nodes.append(node)
+                if not nodes:
+                    continue
+                density_tables = _density_tables(root)
+                text_tbl, link_tbl = density_tables
+                depths = {}
+
+                def depth_of(node):
+                    key = id(node)
+                    if key in depths:
+                        return depths[key]
+                    parent = node.parent
+                    # document nodes hang off the synthetic root, which
+                    # is excluded from the table -- its children are
+                    # depth 0
+                    d = (0 if parent is None or parent.parent is None
+                         else depth_of(parent) + 1)
+                    depths[key] = d
+                    return d
+
+                # capture features BEFORE extraction (it mutates the
+                # tree); node identity survives the re-parenting, so
+                # the article labels map back onto these ordinals
+                feats = []
+                for node in nodes:
+                    feats.append(
+                        (
+                            ordinals[id(node)],
+                            ordinals.get(id(node.parent)),
+                            depth_of(node),
+                            node.tag,
+                            int(text_tbl.get(id(node), 0)),
+                            int(link_tbl.get(id(node), 0)),
+                            float(_link_density(node, density_tables)),
+                            float(_class_weight(node)),
+                        )
+                    )
+                scores = {}
+                article = extract_article(root, scores_out=scores)
+                in_article = set()
+                if article is not None:
+                    for node in article.iter_elements():
+                        ordinal = ordinals.get(id(node))
+                        if ordinal is not None:  # skip the container
+                            in_article.add(ordinal)
+                score_by_ordinal = {
+                    ordinals[key]: value
+                    for key, value in scores.items()
+                    if key in ordinals
+                }
+                for (nid, pid, depth, tag, tlen, llen, ldens,
+                     cweight), node in zip(feats, nodes):
+                    out["url"].append(url)
+                    out["node_id"].append(nid)
+                    out["parent_id"].append(pid)
+                    out["depth"].append(depth)
+                    out["tag"].append(tag)
+                    out["text_len"].append(tlen)
+                    out["link_len"].append(llen)
+                    out["link_density"].append(ldens)
+                    out["class_weight"].append(cweight)
+                    out["score"].append(score_by_ordinal.get(nid))
+                    out["in_article"].append(nid in in_article)
+            yield pd.DataFrame(out)
+
+    return pages_df.select(url_col, html_col).mapInPandas(
+        node_rows, NODE_TABLE_SCHEMA
+    )

@@ -1006,6 +1006,54 @@ def test_canonical_url_rules(spark):
         assert got[url] == want, url
 
 
+def test_html_node_table(spark):
+    """The exported DOM node table: one row per element with readability
+    features, pre-order ids with consistent parent/depth links, scores
+    on the scored candidates, and in_article labels matching what the
+    extractor actually selected (content in, chrome out)."""
+    from sift_spark.operators.extract import html_node_table
+
+    para = ("This paragraph carries enough natural english text to be "
+            "scored as article content by the readability heuristics, "
+            "with commas, and a decent length overall.")
+    html = (
+        "<html><head><title>t</title></head><body>"
+        '<nav class="menu"><a href="/">Home</a> <a href="/a">A</a></nav>'
+        f'<article class="post"><h1>Title</h1><p>{para}</p>'
+        f"<p>{para} And a second sentence follows it.</p></article>"
+        '<footer class="footer"><a href="/x">links</a></footer>'
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("http://n.example/", html), ("http://bad.example/", None)],
+        "url string, html binary")
+    rows = html_node_table(pages).collect()
+    assert all(r["url"] == "http://n.example/" for r in rows)
+
+    by_id = {r["node_id"]: r for r in rows}
+    # pre-order ids, root html node first at depth 0
+    assert by_id[0]["tag"] == "html" and by_id[0]["depth"] == 0
+    for r in rows:
+        if r["parent_id"] is not None:
+            assert by_id[r["parent_id"]]["depth"] == r["depth"] - 1
+
+    tags = {}
+    for r in rows:
+        tags.setdefault(r["tag"], []).append(r)
+    # the article's paragraphs are selected; the nav/footer chrome not
+    assert any(r["in_article"] for r in tags["p"])
+    assert not any(r["in_article"] for r in tags.get("nav", []))
+    assert not any(r["in_article"] for r in tags.get("footer", []))
+    # the scored candidate (the article ancestor) carries a score and
+    # real text/link features
+    scored = [r for r in rows if r["score"] is not None]
+    assert scored and any(r["in_article"] for r in scored)
+    art = tags["article"][0]
+    assert art["text_len"] > 200 and art["link_density"] < 0.2
+    nav = tags["nav"][0]
+    assert nav["link_density"] > 0.5  # chrome is link-dense
+
+
 def test_c4_rules_and_line_clean(spark):
     """C4 heuristics (Raffel et al. 2020 sec 2.2): the doc rules trip on
     lorem ipsum / braces / too few sentences, and the line filter keeps
