@@ -2280,8 +2280,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(text, '\\s+'),
                                    w -> w <> '') AS words,
-                       list_filter(regexp_split_to_array(text, '\n'),
-                                   ln -> trim(ln) <> '') AS lines,
+                       list_filter(regexp_split_to_array(text,
+                                   '\r\n|\r|\n'),
+                                   ln -> regexp_matches(ln,
+                                       '[^ \t\r\f]')) AS lines,
                        list_filter(regexp_split_to_array(lower(text),
                                    '[^a-z'']+'), w -> w <> '') AS lwords
                 FROM documents
@@ -2295,10 +2297,12 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 0.0 END AS mean_wl,
                        greatest(len(lines), 1) AS n_lines,
                        round(len(list_filter(lines, ln ->
-                           regexp_matches(trim(ln), '^[-*•]')))::DOUBLE
+                           regexp_matches(ln, '^[ \t\f]*[-*•]')))
+                           ::DOUBLE
                            / greatest(len(lines), 1), 6) AS bullet_ratio,
                        round(len(list_filter(lines, ln ->
-                           regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+                           regexp_matches(ln,
+                               '(\\.\\.\\.|…)[ \t\f]*$')))
                            ::DOUBLE / greatest(len(lines), 1), 6)
                            AS ellipsis_ratio,
                        CASE WHEN len(words) > 0 THEN
@@ -2339,8 +2343,8 @@ def oracle_sql() -> dict[str, str]:
                        NOT contains(lower(ctext), 'lorem ipsum')
                            AS rule_no_lorem,
                        NOT contains(ctext, '{') AS rule_no_brace,
-                       regexp_split_to_array(ctext, '\r?\n')
-                           AS all_lines
+                       regexp_split_to_array(ctext,
+                           '\r\n|\r|\n') AS all_lines
                 FROM c4src
             ),
             c4l AS (

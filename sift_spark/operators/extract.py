@@ -247,6 +247,12 @@ def html_node_table(pages_df, url_col="url", html_col="html"):
             for url, raw in zip(pdf[url_col], pdf[html_col]):
                 if raw is None or len(raw) > MAX_HTML_BYTES:
                     continue
+                if is_pdf(bytes(raw) if isinstance(raw, bytearray)
+                          else raw):
+                    # PDFs route to extract_pdf_text on the extraction
+                    # path; parsing their byte soup as HTML would emit
+                    # nonsense feature rows, not zero rows
+                    continue
                 try:
                     root = parse_html(_decode(raw))
                 except Exception:
@@ -262,31 +268,25 @@ def html_node_table(pages_df, url_col="url", html_col="html"):
                     continue
                 density_tables = _density_tables(root)
                 text_tbl, link_tbl = density_tables
-                depths = {}
-
-                def depth_of(node):
-                    key = id(node)
-                    if key in depths:
-                        return depths[key]
-                    parent = node.parent
-                    # document nodes hang off the synthetic root, which
-                    # is excluded from the table -- its children are
-                    # depth 0
-                    d = (0 if parent is None or parent.parent is None
-                         else depth_of(parent) + 1)
-                    depths[key] = d
-                    return d
 
                 # capture features BEFORE extraction (it mutates the
                 # tree); node identity survives the re-parenting, so
-                # the article labels map back onto these ordinals
+                # the article labels map back onto these ordinals.
+                # iter_elements is pre-order, so a parent's depth is
+                # always computed before its children need it (the
+                # synthetic root's children sit at depth 0).
+                depths = {}
                 feats = []
                 for node in nodes:
+                    parent = node.parent
+                    depth = (0 if parent.parent is None
+                             else depths[id(parent)] + 1)
+                    depths[id(node)] = depth
                     feats.append(
                         (
                             ordinals[id(node)],
-                            ordinals.get(id(node.parent)),
-                            depth_of(node),
+                            ordinals.get(id(parent)),
+                            depth,
                             node.tag,
                             int(text_tbl.get(id(node), 0)),
                             int(link_tbl.get(id(node), 0)),
@@ -308,7 +308,7 @@ def html_node_table(pages_df, url_col="url", html_col="html"):
                     if key in ordinals
                 }
                 for (nid, pid, depth, tag, tlen, llen, ldens,
-                     cweight), node in zip(feats, nodes):
+                     cweight) in feats:
                     out["url"].append(url)
                     out["node_id"].append(nid)
                     out["parent_id"].append(pid)

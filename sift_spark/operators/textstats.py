@@ -132,15 +132,23 @@ def gopher_rules_cols(col, min_words=50, max_words=100_000,
     mean_wl = F.when(n_words > 0, F.round(
         F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
         / n_words, 6)).otherwise(F.lit(0.0))
-    lines = F.filter(F.split(col, r"\n"), lambda ln: F.trim(ln) != "")
+    # line handling is trim-free and newline-convention-complete for
+    # the same engine-portability reason as c4_line_clean_col (review
+    # r6 pass 5): Java trim strips all chars <= 0x20, DuckDB trim
+    # strips spaces only, so every whitespace tolerance lives in the
+    # regexes, and CRLF / lone-CR input splits identically
+    lines = F.filter(
+        F.split(col, r"\r\n|\r|\n"),
+        lambda ln: ln.rlike(r"[^ \t\r\f]"),
+    )
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_ratio = F.round(
         F.size(F.filter(
-            lines, lambda ln: F.trim(ln).rlike(r"^[-*•]")
+            lines, lambda ln: ln.rlike(r"^[ \t\f]*[-*•]")
         )) / n_lines, 6)
     ellipsis_ratio = F.round(
         F.size(F.filter(
-            lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")
+            lines, lambda ln: ln.rlike(r"(\.\.\.|…)[ \t\f]*$")
         )) / n_lines, 6)
     alpha_ratio = F.when(n_words > 0, F.round(
         F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
@@ -200,14 +208,15 @@ def c4_line_clean_col(col, min_words_per_line=5):
     codegen, no shuffle, no UDF -- so it composes into any scan-side
     projection for free. Returns struct(text_clean, n_lines, n_kept).
 
-    Engine portability (review r6 pass 4, verified divergence): lines
-    split on '\\r?\\n' so CRLF input sheds its '\\r' instead of
-    smuggling it into text_clean, and the terminal check tolerates
-    trailing whitespace VIA THE REGEX rather than trim() -- Java trim
-    strips all control chars <= 0x20 while DuckDB trim strips spaces
-    only, so a trim-based check silently disagrees across engines on
-    '\\t'/'\\r' tails."""
-    lines = F.split(col, r"\r?\n")
+    Engine portability (review r6 passes 4+5, verified divergence):
+    lines split on '\\r\\n|\\r|\\n' -- CRLF, lone-CR (classic Mac) and
+    LF conventions all shed their terminators instead of smuggling
+    '\\r' into text_clean -- and the terminal check tolerates trailing
+    whitespace VIA THE REGEX rather than trim(): Java trim strips all
+    control chars <= 0x20 while DuckDB trim strips spaces only, so a
+    trim-based check silently disagrees across engines on '\\t'/'\\r'
+    tails."""
+    lines = F.split(col, r"\r\n|\r|\n")
 
     def keeps(ln):
         words = F.filter(

@@ -1025,7 +1025,9 @@ def test_html_node_table(spark):
         "</body></html>"
     ).encode()
     pages = spark.createDataFrame(
-        [("http://n.example/", html), ("http://bad.example/", None)],
+        [("http://n.example/", html), ("http://bad.example/", None),
+         # a PDF must yield ZERO rows, not byte-soup pseudo-elements
+         ("http://pdf.example/", b"%PDF-1.4 <x>not html</x>")],
         "url string, html binary")
     rows = html_node_table(pages).collect()
     assert all(r["url"] == "http://n.example/" for r in rows)
@@ -1109,6 +1111,14 @@ def test_c4_rules_and_line_clean(spark):
     assert "\r" not in row["text_clean"]
     assert row["text_clean"].startswith("A first windows line")
 
+    # lone-CR (classic Mac) terminators split as lines too, and a bare
+    # trailing '\r' cannot reach text_clean (review r6 pass 5)
+    mac = ("The first mac line has plenty of words right here.\r"
+           "The second mac line also has plenty of words here.\r")
+    row = spark.createDataFrame([(10, mac)], ["doc_id", "text"]).select(
+        c4_line_clean_col(F.col("text")).alias("c")).first()["c"]
+    assert row["n_kept"] == 2 and "\r" not in row["text_clean"]
+
 
 def test_gopher_rules_pass_and_fail(spark):
     """Gopher rules: a healthy English paragraph passes all six; each
@@ -1139,6 +1149,21 @@ def test_gopher_rules_pass_and_fail(spark):
     assert not out[5]["rule_mean_word_len"]
     for d in (2, 3, 4, 5):
         assert not out[d]["passes_gopher"]
+
+    # newline-convention + whitespace portability (review r6 pass 5):
+    # CRLF bullet lines with leading tabs still count as bullets, and
+    # ellipsis detection survives a '\r' terminator -- via regex
+    # tolerance, never trim() (Java and DuckDB trim disagree on
+    # control chars)
+    crlf_bullets = "\r\n".join(
+        f"\t- item {i} in the tabbed crlf list" for i in range(10))
+    dots = "\r\n".join(
+        f"the line {i} trails off into more dots..." for i in range(10))
+    out2 = {r["doc_id"]: r for r in spark.createDataFrame(
+        [(1, crlf_bullets), (2, dots)], ["doc_id", "text"]).select(
+        "doc_id", *[e.alias(n) for n, e in rules.items()]).collect()}
+    assert not out2[1]["rule_bullet_lines"]
+    assert not out2[2]["rule_ellipsis_lines"]
 
 
 def test_repetition_profile_values(spark):
