@@ -142,7 +142,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      benchmark_df=None, ngram=13, pack_budget=0,
                      n_shards=64, vocab_path=None,
                      temperature_stratum=None, temperature_alpha=0.5,
-                     temperature_default_rate=0.0, span_k=0):
+                     temperature_default_rate=0.0, span_k=0,
+                     seen_df=None, write_hashes=False):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -166,7 +167,14 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     (a .count() per stage would re-run the upstream pipeline four times
     at crawl scale). An observed count can be missing if AQE prunes an
     empty subtree (the documented Observation gotcha); it is reported
-    as None rather than crashing the job."""
+    as None rather than crashing the job.
+
+    seen_df switches on INCREMENTAL curation (dedup_against_seen
+    before the in-batch exact dedup): pass a prior run's `_hashes`
+    snapshot (written when write_hashes=True as the curated corpus's
+    distinct 16-byte content hashes at `output_dir + "_hashes"`) or
+    raw docs with a text column; union successive `_hashes` sinks to
+    accumulate the corpus-wide seen set week over week."""
     from pyspark.sql import Observation
 
     from .operators.dedup import dedup_exact, duplicated_span_dedup
@@ -197,6 +205,20 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     if redact:
         curated = redact_pii(curated).drop("text").withColumnRenamed(
             "text_redacted", "text"
+        )
+    if seen_df is not None:
+        # INCREMENTAL curation (the weekly-crawl loop): drop documents
+        # whose content already shipped in a prior snapshot before
+        # spending any further work on them. seen_df is either a
+        # compact hash table (a previous run's `_hashes` sink -- 16
+        # bytes per historical doc) or raw docs carrying `text`.
+        from .operators.dedup import dedup_against_seen
+
+        seen_kwargs = ({} if "content_hash" in seen_df.columns
+                       else {"seen_text_col": "text"})
+        curated = observed(
+            dedup_against_seen(curated, seen_df, **seen_kwargs),
+            "after_seen_dedup",
         )
     if dedup:
         # dedup_exact keeps min-id per content hash via a content-hash
@@ -233,6 +255,19 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     if span_persisted is not None:
         span_persisted.unpersist()
     out = spark.read.parquet(output_dir)
+    if write_hashes:
+        # snapshot sink for the NEXT incremental run's seen_df: the
+        # curated corpus's distinct 16-byte content hashes (scanned
+        # from the written sink, column-pruned -- never a pipeline
+        # re-run). Feed `<output>_hashes` back via --seen next week.
+        from .operators.dedup import content_hash_col
+
+        (
+            out.select(content_hash_col("text").alias("content_hash"))
+            .filter(F.col("content_hash").isNotNull())
+            .distinct()
+            .write.mode("overwrite").parquet(output_dir + "_hashes")
+        )
     if temperature_stratum:
         # corpus mixing between curation and packing: the rate
         # derivation's groupBy-count runs over the WRITTEN sink (a
@@ -315,6 +350,16 @@ def curate_main(argv=None):
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--benchmark", default=None,
                         help="eval-set parquet for decontamination")
+    parser.add_argument("--seen", default=None,
+                        help="prior snapshot parquet for INCREMENTAL "
+                             "dedup (a previous run's _hashes sink, or "
+                             "raw docs with a text column); new-batch "
+                             "docs whose content already shipped are "
+                             "dropped before any further work")
+    parser.add_argument("--write-hashes", action="store_true",
+                        help="write <output>_hashes (distinct 16-byte "
+                             "content hashes of the curated corpus) "
+                             "for the next run's --seen")
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--pack-budget", type=int, default=0,
                         help="token budget per training sequence "
@@ -365,6 +410,8 @@ def curate_main(argv=None):
         temperature_alpha=args.mix_alpha,
         temperature_default_rate=args.mix_default_rate,
         span_k=args.span_k,
+        seen_df=(spark.read.parquet(args.seen) if args.seen else None),
+        write_hashes=args.write_hashes,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")
@@ -505,6 +552,10 @@ def crawl_curate_main(argv=None):
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--benchmark", default=None,
                         help="eval-set parquet for decontamination")
+    parser.add_argument("--seen", default=None,
+                        help="prior snapshot parquet for incremental "
+                             "dedup (see curate --seen)")
+    parser.add_argument("--write-hashes", action="store_true")
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--span-k", type=int, default=0,
                         help="duplicated-span removal window in words "
@@ -548,6 +599,8 @@ def crawl_curate_main(argv=None):
         temperature_alpha=args.mix_alpha,
         temperature_default_rate=args.mix_default_rate,
         span_k=args.span_k,
+        seen_df=(spark.read.parquet(args.seen) if args.seen else None),
+        write_hashes=args.write_hashes,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")

@@ -1651,6 +1651,48 @@ def test_curation_job_end_to_end(spark, tmp_path):
         (r["shard"], r["seq_no"]): r["n_tokens"] for r in tokens}
 
 
+def test_curation_incremental_seen_loop(spark, tmp_path):
+    """The weekly-crawl incremental loop at the job level: week 1
+    curates with --write-hashes, week 2 feeds that _hashes snapshot
+    back via --seen and drops every document whose content already
+    shipped (including whitespace/case variants), before exact dedup
+    runs within the new batch."""
+    from sift_spark.job import run_curation_job
+
+    base = ("a perfectly ordinary english paragraph about the harvest "
+            "and the weather, with commas, sentences and the usual "
+            "words flowing naturally to pass the quality gates. ")
+    week1 = [(i, base + f"week one document number {i} here.")
+             for i in range(4)]
+    out1_dir = str(tmp_path / "week1")
+    spark.createDataFrame(week1, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "w1_in"))
+    out1, m1 = run_curation_job(
+        spark, spark.read.parquet(str(tmp_path / "w1_in")), out1_dir,
+        write_hashes=True)
+    assert out1.count() == 4
+    hashes = spark.read.parquet(out1_dir + "_hashes")
+    assert hashes.columns == ["content_hash"] and hashes.count() == 4
+
+    week2 = [
+        (100, base + "week one document number 2 here."),   # re-crawl
+        (101, base + "WEEK ONE  document number 3 here."),  # variant
+        (102, base + "a genuinely new week two document."),
+        (103, base + "another genuinely new week two text."),
+    ]
+    out2_dir = str(tmp_path / "week2")
+    spark.createDataFrame(week2, ["doc_id", "text"]).write.parquet(
+        str(tmp_path / "w2_in"))
+    out2, m2 = run_curation_job(
+        spark, spark.read.parquet(str(tmp_path / "w2_in")), out2_dir,
+        seen_df=hashes, write_hashes=True)
+    assert m2["after_seen_dedup"] == 2
+    assert {r["doc_id"] for r in out2.collect()} == {102, 103}
+    # week-2 snapshot covers only the week-2 corpus (compose snapshots
+    # by unioning _hashes sinks across runs)
+    assert spark.read.parquet(out2_dir + "_hashes").count() == 2
+
+
 def test_curation_mix_null_stratum_metric(spark, tmp_path):
     """mix_null_stratum reports how many rows ENTER the temperature mix
     with a null stratum (the rows --mix-default-rate governs), computed
