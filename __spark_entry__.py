@@ -776,9 +776,10 @@ def _q_url_canonical(spark, sf_dir):
     deterministically from doc_id must canonicalize to ONE url with
     n = 2. mode='host' / mode='domain': host extraction (userinfo and
     port stripped) and the registered-domain eTLD+1 heuristic
-    (including the ccTLD second-level co.uk rule) over four messy host
-    shapes -- the keys filter_blocked_hosts anti-joins on. All native
-    expressions (operators/urlnorm.py)."""
+    (including the ccTLD second-level co.uk rule) over six messy host
+    shapes -- including a trailing-root-dot FQDN and a bracketed IPv6
+    literal (ADVICE r6) -- the keys filter_blocked_hosts anti-joins
+    on. All native expressions (operators/urlnorm.py)."""
     from sift_spark.operators.urlnorm import (
         canonical_url_col,
         registered_domain_col,
@@ -802,14 +803,22 @@ def _q_url_canonical(spark, sf_dir):
         .withColumn("mode", F.lit("canon"))
     )
     hosty = F.when(
-        F.col("doc_id") % 4 == 0,
+        F.col("doc_id") % 6 == 0,
         F.lit("https://User@Sub.Shop.Example.CO.UK:443/item"),
     ).when(
-        F.col("doc_id") % 4 == 1,
+        F.col("doc_id") % 6 == 1,
         F.lit("http://crawler:pw@Blog.Example.com:8080/post"),
     ).when(
-        F.col("doc_id") % 4 == 2,
+        F.col("doc_id") % 6 == 2,
         F.lit("https://example.org/page"),
+    ).when(
+        # trailing root-label dot: same site as blocked.example.com
+        F.col("doc_id") % 6 == 3,
+        F.lit("https://Blocked.Example.COM./x"),
+    ).when(
+        # bracketed IPv6 literal with port: keys as '[::1]'
+        F.col("doc_id") % 6 == 4,
+        F.lit("http://[::1]:8080/x"),
     ).otherwise(F.lit("https://www.archive.example.net/p?q=1"))
     host = url_host_col(hosty)
     hosts = (
@@ -2445,20 +2454,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT q.mode, q.value, q.n FROM (
                 WITH hosty AS (
-                    SELECT CASE doc_id % 4
+                    SELECT CASE doc_id % 6
                            WHEN 0 THEN
                              'https://User@Sub.Shop.Example.CO.UK:443/item'
                            WHEN 1 THEN
                              'http://crawler:pw@Blog.Example.com:8080/post'
                            WHEN 2 THEN 'https://example.org/page'
+                           WHEN 3 THEN 'https://Blocked.Example.COM./x'
+                           WHEN 4 THEN 'http://[::1]:8080/x'
                            ELSE 'https://www.archive.example.net/p?q=1'
                            END AS u
                     FROM documents
                 ),
                 hosts AS (
-                    SELECT lower(regexp_extract(trim(u),
-                        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)',
-                        1)) AS host
+                    SELECT regexp_replace(lower(regexp_extract(trim(u),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?' ||
+                        '(\\[[^\\]/?#]*\\]|[^/?#:]+)',
+                        1)), '\\.$', '') AS host
                     FROM hosty
                 ),
                 doms AS (

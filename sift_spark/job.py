@@ -143,6 +143,7 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      n_shards=64, vocab_path=None,
                      temperature_stratum=None, temperature_alpha=0.5,
                      temperature_default_rate=0.0, span_k=0,
+                     span_hash_mode="rolling",
                      seen_df=None, write_hashes=False):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
@@ -174,7 +175,12 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     snapshot (written when write_hashes=True as the curated corpus's
     distinct 16-byte content hashes at `output_dir + "_hashes"`) or
     raw docs with a text column; union successive `_hashes` sinks to
-    accumulate the corpus-wide seen set week over week."""
+    accumulate the corpus-wide seen set week over week. When span_k
+    is set, the snapshot includes the PRE-span-excision hashes too,
+    so an exact re-crawl of a doc whose spans were cut still matches
+    next run (ADVICE r6). span_hash_mode picks the span stage's
+    window keys: 'rolling' (default, O(n) 64-bit) or 'md5' (exact
+    128-bit)."""
     from pyspark.sql import Observation
 
     from .operators.dedup import dedup_exact, duplicated_span_dedup
@@ -236,8 +242,15 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # self-join; persist it so the gates/redaction/dedup lineage
         # evaluates ONCE instead of per branch (MEMORY_AND_DISK --
         # spills rather than recomputes at corpus scale)
+        # span_hash_mode='rolling' (default) uses O(n) 64-bit rolling
+        # window hashes -- a documented ~1e-6-of-words collision bound
+        # at 10^12 windows; 'md5' restores the exact 128-bit window
+        # keys for operators who need collision-free semantics without
+        # a code change (ADVICE r6).
         span_persisted = curated.persist()
-        spans = duplicated_span_dedup(span_persisted, k=span_k).select(
+        spans = duplicated_span_dedup(
+            span_persisted, k=span_k, hash_mode=span_hash_mode
+        ).select(
             "doc_id", F.col("text_clean").alias("_span_text")
         )
         curated = observed(
@@ -252,8 +265,6 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             "after_decontam",
         )
     curated.write.mode("overwrite").parquet(output_dir)
-    if span_persisted is not None:
-        span_persisted.unpersist()
     out = spark.read.parquet(output_dir)
     if write_hashes:
         # snapshot sink for the NEXT incremental run's seen_df: the
@@ -262,12 +273,29 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # re-run). Feed `<output>_hashes` back via --seen next week.
         from .operators.dedup import content_hash_col
 
-        (
+        hashes = (
             out.select(content_hash_col("text").alias("content_hash"))
             .filter(F.col("content_hash").isNotNull())
-            .distinct()
+        )
+        if span_persisted is not None:
+            # ALSO snapshot the PRE-span-excision hashes (ADVICE r6):
+            # --seen checks an incoming re-crawl's text BEFORE the span
+            # stage, so a doc whose spans were cut last run would hash
+            # differently from its curated sink form, evade incremental
+            # dedup, and re-enter as a near-duplicate. The pre-span
+            # frame is already persisted for the span self-join, so
+            # this is one more narrow pass over it, not a re-run.
+            hashes = hashes.unionByName(
+                span_persisted
+                .select(content_hash_col("text").alias("content_hash"))
+                .filter(F.col("content_hash").isNotNull())
+            )
+        (
+            hashes.distinct()
             .write.mode("overwrite").parquet(output_dir + "_hashes")
         )
+    if span_persisted is not None:
+        span_persisted.unpersist()
     if temperature_stratum:
         # corpus mixing between curation and packing: the rate
         # derivation's groupBy-count runs over the WRITTEN sink (a
@@ -371,6 +399,13 @@ def curate_main(argv=None):
                              "cuts only the duplicated characters -- "
                              "text outside the spans is preserved "
                              "byte-for-byte)")
+    parser.add_argument("--span-hash-mode", default="rolling",
+                        choices=["rolling", "md5"],
+                        help="span window keys: 'rolling' = O(n) 64-bit "
+                             "rolling hashes (~1e-6-of-words collision "
+                             "bound at 1e12 windows), 'md5' = exact "
+                             "128-bit window keys (collision-free, "
+                             "slower)")
     parser.add_argument("--mix-stratum", default=None,
                         help="column to temperature-rebalance on after "
                              "curation (e.g. source); off by default")
@@ -410,6 +445,7 @@ def curate_main(argv=None):
         temperature_alpha=args.mix_alpha,
         temperature_default_rate=args.mix_default_rate,
         span_k=args.span_k,
+        span_hash_mode=args.span_hash_mode,
         seen_df=(spark.read.parquet(args.seen) if args.seen else None),
         write_hashes=args.write_hashes,
     )
@@ -560,6 +596,10 @@ def crawl_curate_main(argv=None):
     parser.add_argument("--span-k", type=int, default=0,
                         help="duplicated-span removal window in words "
                              "(0 = off)")
+    parser.add_argument("--span-hash-mode", default="rolling",
+                        choices=["rolling", "md5"],
+                        help="span window keys (see curate "
+                             "--span-hash-mode)")
     parser.add_argument("--mix-stratum", default=None)
     parser.add_argument("--mix-alpha", type=float, default=0.5)
     parser.add_argument("--mix-default-rate", type=float, default=0.0)
@@ -599,6 +639,7 @@ def crawl_curate_main(argv=None):
         temperature_alpha=args.mix_alpha,
         temperature_default_rate=args.mix_default_rate,
         span_k=args.span_k,
+        span_hash_mode=args.span_hash_mode,
         seen_df=(spark.read.parquet(args.seen) if args.seen else None),
         write_hashes=args.write_hashes,
     )

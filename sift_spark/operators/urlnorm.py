@@ -64,14 +64,20 @@ def canonical_url_col(col):
 def url_host_col(col):
     """Lowercase host of an absolute URL -- userinfo and port stripped
     (the form blocklists and per-site grouping key on); empty string
-    for non-absolute inputs. Native regexp (RE2-compatible: no
-    lookarounds), reproducible in the DuckDB oracle."""
-    return F.lower(
-        F.regexp_extract(
-            F.trim(col),
-            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1,
-        )
+    for non-absolute inputs. A trailing root-label dot is stripped
+    ('blocked.example.com.' is the same site as 'blocked.example.com'
+    to every browser -- without the strip the FQDN form defeats the
+    blocklist key). Bracketed IPv6 literals are captured whole,
+    brackets kept, port stripped ('http://[::1]:8080/x' keys as
+    '[::1]', not a '[' truncated at the first colon). Native regexp
+    (RE2-compatible: no lookarounds), reproducible in the DuckDB
+    oracle."""
+    raw = F.regexp_extract(
+        F.trim(col),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]/?#]*\]|[^/?#:]+)",
+        1,
     )
+    return F.lower(F.regexp_replace(raw, r"\.$", ""))
 
 
 # second-level labels under 2-letter ccTLDs that act as TLD extensions

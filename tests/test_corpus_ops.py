@@ -1752,6 +1752,52 @@ def test_curation_span_dedup_stage(spark, tmp_path):
     assert metrics.get("after_span_dedup") == 2
 
 
+def test_curation_span_snapshot_catches_recrawl(spark, tmp_path):
+    """ADVICE r6: with --span-k + --write-hashes, the _hashes snapshot
+    must include PRE-span-excision hashes -- an exact re-crawl of a doc
+    whose spans were cut last run arrives with the pre-span text, and
+    --seen checks that form. Also exercises span_hash_mode='md5'
+    end-to-end through the job wiring."""
+    from sift_spark.job import run_curation_job
+
+    passage = " ".join(
+        ["the shared quoted passage continues with plenty of good and "
+         "natural english words that clear the quality gates easily"] * 2
+    ).split()
+    shared = " ".join(passage[:22])
+    base = ("this is a perfectly normal english document about the "
+            "weather and the mountains with commas, sentences and the "
+            "usual words flowing naturally. ")
+    doc2_text = ("another quite different english text about rivers and "
+                 "valleys with the usual words and commas, naturally. "
+                 + shared + " trailing remark.")
+    rows = [(1, base + shared + " and then some closing words here."),
+            (2, doc2_text)]
+    w1_in, w1_out = str(tmp_path / "w1_in"), str(tmp_path / "w1")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(w1_in)
+    out1, _ = run_curation_job(
+        spark, spark.read.parquet(w1_in), w1_out,
+        span_k=10, span_hash_mode="md5", write_hashes=True)
+    got1 = {r["doc_id"]: r["text"] for r in out1.collect()}
+    assert shared not in got1[2]  # span actually cut (md5 mode works)
+    # snapshot: 2 post-span hashes + doc2's distinct pre-span hash
+    # (doc1's pre == post: its canonical occurrence was kept)
+    hashes = spark.read.parquet(w1_out + "_hashes")
+    assert hashes.count() == 3
+
+    # week 2: exact re-crawl of doc2's ORIGINAL (pre-span) text must be
+    # dropped by --seen; a fresh doc survives
+    week2 = [(10, doc2_text),
+             (11, base + "a genuinely new week two document, with the "
+                  "usual english words flowing naturally.")]
+    w2_in, w2_out = str(tmp_path / "w2_in"), str(tmp_path / "w2")
+    spark.createDataFrame(week2, ["doc_id", "text"]).write.parquet(w2_in)
+    out2, m2 = run_curation_job(
+        spark, spark.read.parquet(w2_in), w2_out, seen_df=hashes)
+    assert m2["after_seen_dedup"] == 1
+    assert {r["doc_id"] for r in out2.collect()} == {11}
+
+
 def test_pii_scrub_to_zero_property():
     """Property: after redaction, the profile counts are zero for every
     class -- over structured compositions of words, PII snippets and
@@ -2134,6 +2180,9 @@ def test_url_host_domain_and_blocklist(spark):
         (3, "https://example.org/page"),
         (4, "https://cdn.example.org/asset.js"),
         (5, "not a url"),
+        (6, "https://Blocked.Example.COM./x"),   # trailing-dot FQDN
+        (7, "http://[::1]:8080/x"),              # bracketed IPv6
+        (8, "http://user@[2001:DB8::1]/y"),      # IPv6 + userinfo
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "url"])
     got = {r["doc_id"]: (r["host"], r["domain"]) for r in docs.select(
@@ -2147,18 +2196,29 @@ def test_url_host_domain_and_blocklist(spark):
     assert got[3] == ("example.org", "example.org")
     assert got[4] == ("cdn.example.org", "example.org")
     assert got[5] == ("", "")
+    # ADVICE r6: the FQDN trailing dot must not defeat the domain key,
+    # and IPv6 literals must key as the whole bracketed literal (the
+    # old port-strip at ':' truncated them to '[')
+    assert got[6] == ("blocked.example.com", "example.com")
+    assert got[7] == ("[::1]", "[::1]")
+    assert got[8] == ("[2001:db8::1]", "[2001:db8::1]")
 
     by_domain = {r["doc_id"] for r in filter_blocked_hosts(
         docs, ["example.org"], by="domain").collect()}
-    assert by_domain == {1, 2, 5}  # both org hosts blocked
+    assert by_domain == {1, 2, 5, 6, 7, 8}  # both org hosts blocked
     by_host = {r["doc_id"] for r in filter_blocked_hosts(
         docs, ["cdn.example.org"], by="host").collect()}
-    assert by_host == {1, 2, 3, 5}  # only the exact host blocked
+    assert by_host == {1, 2, 3, 5, 6, 7, 8}  # only the exact host
+
+    # the FQDN spelling of a blocked domain is caught (ADVICE r6)
+    assert {r["doc_id"] for r in filter_blocked_hosts(
+        docs, ["example.com"], by="domain").collect()
+    } == {1, 3, 4, 5, 7, 8}
 
     # DataFrame-shaped blocklist + case-insensitive entries
     bdf = spark.createDataFrame([("EXAMPLE.CO.UK",)], ["host"])
     assert {r["doc_id"] for r in filter_blocked_hosts(
-        docs, bdf, by="domain").collect()} == {2, 3, 4, 5}
+        docs, bdf, by="domain").collect()} == {2, 3, 4, 5, 6, 7, 8}
 
     with pytest.raises(ValueError):
         filter_blocked_hosts(docs, ["x"], by="path")
@@ -2170,7 +2230,8 @@ def test_url_host_domain_and_blocklist(spark):
         docs, ["example.org", "", "  "], by="domain").collect()}
     assert 5 in with_blank  # the non-url row survives
     assert {r["doc_id"] for r in
-            filter_blocked_hosts(docs, []).collect()} == {1, 2, 3, 4, 5}
+            filter_blocked_hosts(docs, []).collect()
+            } == {1, 2, 3, 4, 5, 6, 7, 8}
 
 
 def test_dedup_against_seen(spark):
