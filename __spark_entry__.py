@@ -31,6 +31,13 @@ from sift_spark.operators.textstats import TOKEN_PATTERN
 
 TFIDF_QUERY = "spark join stream"
 
+# CCNet bucket thresholds for the lm_perplexity gate row -- fixed
+# literals (sf0.01 thirds are ~10.2 / 43.4; 12/45 keeps all three
+# buckets populated and away from knife edges). Production derives
+# thresholds from perplexity_thresholds().
+_PPL_HEAD = 12.0
+_PPL_MIDDLE = 45.0
+
 
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -635,16 +642,23 @@ def _q_embedding_neardup_exact(spark, sf_dir):
 
 
 def _q_quality_profile(spark, sf_dir):
-    """Quality features + the md5 document fingerprint in one query
-    (fingerprint folded in round 4 to free a gate slot for
-    line_dedup; both remain oracle-exact)."""
-    from sift_spark.operators.textstats import fingerprint_col, quality_cols
+    """Quality features + the md5 document fingerprint + the n-gram
+    language guess in one query (fingerprint folded in round 4 to free
+    a gate slot for line_dedup; lang_guess folded in round 7 -- same
+    per-doc grain -- to free a slot for lm_perplexity; all remain
+    oracle-exact)."""
+    from sift_spark.operators.textstats import (
+        fingerprint_col,
+        lang_id_col,
+        quality_cols,
+    )
 
     cols = quality_cols(F.col("text"))
     return _docs(spark, sf_dir).select(
         "doc_id",
         *[expr.alias(name) for name, expr in cols.items()],
         fingerprint_col(F.col("text")).alias("fingerprint"),
+        lang_id_col(F.col("text")).alias("lang_guess"),
     )
 
 
@@ -933,11 +947,33 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
-def _q_lang_id(spark, sf_dir):
-    from sift_spark.operators.textstats import lang_id_col
+def _q_lm_perplexity(spark, sf_dir):
+    """Model-based quality filtering (operators/lm.py -- CCNet-style):
+    a trigram stupid-backoff LM is trained IN-QUERY on the clean slice
+    (doc_id % 3 == 0), then every document is scored -- token count,
+    OOV count, log10 probability, perplexity, and the CCNet
+    head/middle/tail bucket (fixed thresholds here so the oracle is a
+    literal mirror; production derives them via
+    perplexity_thresholds). The DuckDB oracle re-derives training AND
+    scoring from scratch: per-order count CTEs, a lag window for the
+    backoff context counts, and the same alpha-cascade CASE."""
+    from sift_spark.operators.lm import (
+        perplexity_bucket_col,
+        score_perplexity,
+        train_ngram_lm,
+    )
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", lang_id_col(F.col("text")).alias("lang_guess")
+    docs = _docs(spark, sf_dir)
+    lm = train_ngram_lm(docs.filter(F.col("doc_id") % 3 == 0), n=3)
+    scored = score_perplexity(docs, lm).withColumn(
+        "lm_ppl", F.round("lm_ppl", 6)
+    )
+    return scored.select(
+        "doc_id", "lm_tokens", "lm_oov",
+        F.round("lm_logprob10", 6).alias("lm_logprob10"),
+        "lm_ppl",
+        perplexity_bucket_col("lm_ppl", _PPL_HEAD, _PPL_MIDDLE)
+        .alias("ppl_bucket"),
     )
 
 
@@ -1243,7 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": _q_embedding_neardup_exact,
         # text analysis
         "quality_profile": _q_quality_profile,
-        "lang_id": _q_lang_id,
+        "lm_perplexity": _q_lm_perplexity,
         "corpus_curation": _q_corpus_curation,
         "stratified_sample": _q_stratified_sample,
         "distinct_sketch": _q_distinct_sketch,
@@ -1315,6 +1351,100 @@ def _bucket_sql_builder(dim, n_planes, seed=42):
         return " + ".join(parts)
 
     return bucket_expr
+
+
+# Stupid-backoff trigram LM (Brants et al. 2007) trained on the
+# doc_id%3==0 clean slice and scored over every document -- the full
+# train+score mirror of operators/lm.py for the lm_perplexity gate
+# row: per-order count CTEs, lag window for backoff context counts,
+# identical alpha-cascade CASE, OOV floor 1/N, effective order
+# min(pos+1, 3) at document starts.
+_LM_PPL_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z'']+'), w -> w <> '') AS toks
+        FROM documents
+    ),
+    clean AS (SELECT toks FROM toks WHERE doc_id % 3 = 0),
+    uni AS (
+        SELECT u.w AS gram, count(*) AS cnt
+        FROM clean, unnest(toks) AS u(w)
+        GROUP BY u.w
+    ),
+    big AS (
+        SELECT toks[g.i] || ' ' || toks[g.i + 1] AS gram,
+               count(*) AS cnt
+        FROM clean, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        GROUP BY 1
+    ),
+    tri AS (
+        SELECT toks[g.i] || ' ' || toks[g.i + 1] || ' ' ||
+               toks[g.i + 2] AS gram, count(*) AS cnt
+        FROM clean, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+    pos AS (
+        SELECT doc_id, p.i AS pos, toks[p.i + 1] AS w,
+               CASE WHEN p.i >= 1 THEN
+                   toks[p.i] || ' ' || toks[p.i + 1] END AS g2,
+               CASE WHEN p.i >= 2 THEN
+                   toks[p.i - 1] || ' ' || toks[p.i] || ' ' ||
+                   toks[p.i + 1] END AS g3
+        FROM toks, unnest(generate_series(0, len(toks) - 1)) AS p(i)
+        WHERE len(toks) > 0
+    ),
+    joined AS (
+        SELECT p.doc_id, p.pos, u.cnt AS c1, b.cnt AS c2, t.cnt AS c3
+        FROM pos p
+        LEFT JOIN uni u ON u.gram = p.w
+        LEFT JOIN big b ON b.gram = p.g2
+        LEFT JOIN tri t ON t.gram = p.g3
+    ),
+    ctx AS (
+        SELECT *,
+               lag(c1) OVER (PARTITION BY doc_id ORDER BY pos) AS x2,
+               lag(c2) OVER (PARTITION BY doc_id ORDER BY pos) AS x3,
+               least(pos + 1, 3) AS o_eff
+        FROM joined
+    ),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN o_eff >= 3 AND c3 IS NOT NULL
+                         AND x3 IS NOT NULL
+                    THEN pow(0.4, o_eff - 3) * c3 / x3
+                    WHEN o_eff >= 2 AND c2 IS NOT NULL
+                         AND x2 IS NOT NULL
+                    THEN pow(0.4, o_eff - 2) * c2 / x2
+                    WHEN c1 IS NOT NULL
+                    THEN pow(0.4, o_eff - 1) * c1 / total
+                    ELSE pow(0.4, o_eff - 1) * (1.0 / total)
+               END AS score,
+               CASE WHEN c1 IS NULL THEN 1 ELSE 0 END AS oov
+        FROM ctx, n
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS lm_tokens,
+               CAST(sum(oov) AS INT) AS lm_oov,
+               sum(log10(score)) AS lp
+        FROM scored GROUP BY doc_id
+    ),
+    alldocs AS (
+        SELECT doc_id, lm_tokens, lm_oov,
+               round(lp, 6) AS lm_logprob10,
+               round(pow(10, -lp / lm_tokens), 6) AS lm_ppl
+        FROM perdoc
+        UNION ALL
+        SELECT doc_id, 0, 0, 0.0, NULL
+        FROM toks WHERE toks IS NULL OR len(toks) = 0
+    )
+    SELECT doc_id, lm_tokens, lm_oov, lm_logprob10, lm_ppl,
+           CASE WHEN lm_ppl < {_PPL_HEAD} THEN 'head'
+                WHEN lm_ppl < {_PPL_MIDDLE} THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM alldocs
+"""
 
 
 _AUG_EMBEDDINGS_SQL = """
@@ -1810,9 +1940,10 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
-    quality_sql = """
+    quality_sql = f"""
             WITH feat AS (
                 SELECT doc_id,
+                       {lang_case} AS lang_guess,
                        length(text) AS n_chars,
                        list_filter(regexp_split_to_array(text, '\\s+'),
                                    w -> w <> '') AS words,
@@ -1842,7 +1973,7 @@ def oracle_sql() -> dict[str, str]:
                                ('the','and','of','to','is','that','with')
                            ))::DOUBLE / len(lwords)
                        ELSE 0.0 END AS stop_ratio_raw,
-                       fingerprint
+                       fingerprint, lang_guess
                 FROM feat
             )
             SELECT doc_id, n_chars, n_words,
@@ -1856,7 +1987,7 @@ def oracle_sql() -> dict[str, str]:
                         + (1.0 - least(n_digit / safe_chars * 5.0, 1.0))
                         + least(stop_ratio_raw * 5.0, 1.0)) / 4.0, 6)
                        AS quality_score,
-                   fingerprint
+                   fingerprint, lang_guess
             FROM feat2
         """
     return {
@@ -2241,7 +2372,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
-        "lang_id": f"SELECT doc_id, {lang_case} AS lang_guess FROM documents",
+        "lm_perplexity": _LM_PPL_SQL,
         "repetition_profile": """
             WITH w AS (
                 SELECT doc_id,
