@@ -611,24 +611,25 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    from sift_spark.operators.similarity import embedding_near_duplicates
-
-    return embedding_near_duplicates(
-        _augmented_embeddings(spark, sf_dir), min_cosine=0.999, dim=64
+    """Embedding-cosine near-dup, BOTH variants in one row (folded
+    round 7 to free a gate slot for minhash_incremental): mode='lsh'
+    is the bucketed production path, mode='exact' the brute-force
+    all-pairs baseline it is verified against. Identical pair schema;
+    the oracle mirrors the union."""
+    from sift_spark.operators.similarity import (
+        cosine_col,
+        embedding_near_duplicates,
     )
 
+    aug = _augmented_embeddings(spark, sf_dir)
+    lsh = embedding_near_duplicates(
+        aug, min_cosine=0.999, dim=64
+    ).withColumn("mode", F.lit("lsh"))
 
-def _q_embedding_neardup_exact(spark, sf_dir):
-    """Brute-force all-pairs cosine near-dup (the exact baseline the LSH
-    variant is verified against); oracle-checked."""
-    from sift_spark.operators.similarity import cosine_col
-
-    emb = _augmented_embeddings(spark, sf_dir).select(
-        F.col("vec_id"), F.col("embedding").alias("v")
-    )
+    emb = aug.select(F.col("vec_id"), F.col("embedding").alias("v"))
     a = emb.alias("a")
     b = emb.alias("b")
-    return (
+    exact = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id_a"),
@@ -638,6 +639,42 @@ def _q_embedding_neardup_exact(spark, sf_dir):
             ),
         )
         .filter(F.col("cosine") >= 0.999)
+        .withColumn("mode", F.lit("exact"))
+    )
+    return lsh.unionByName(exact).select("mode", "id_a", "id_b",
+                                         "cosine")
+
+
+def _q_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR-dup against a prior snapshot
+    (dedup.py minhash_seen_matches): the seen corpus (doc_id % 3 == 0)
+    is reduced to its md5-portable minhash signature table; the new
+    batch (the rest) is banded against it and verified by the
+    signature-component agreement estimate. The DuckDB oracle
+    re-derives both sides' signatures, the band join, and the
+    estimator from scratch."""
+    from sift_spark.operators.dedup import (
+        char_shingles,
+        minhash_seen_matches,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seen_sigs = minhash_signatures(
+        char_shingles(docs.filter(F.col("doc_id") % 3 == 0), 8,
+                      distinct=False),
+        n_hashes=16, portable_hash=True,
+    )
+    new_sigs = minhash_signatures(
+        char_shingles(docs.filter(F.col("doc_id") % 3 != 0), 8,
+                      distinct=False),
+        n_hashes=16, portable_hash=True,
+    )
+    # uncapped: the DuckDB twin is an uncapped band join (same
+    # discipline as minhash_neardup_md5)
+    return minhash_seen_matches(
+        new_sigs, seen_sigs, n_bands=4, n_hashes=16,
+        min_est_jaccard=0.25, max_bucket_size=None,
     )
 
 
@@ -1276,7 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_exact": _q_embedding_neardup_exact,
+        "minhash_incremental": _q_minhash_incremental,
         # text analysis
         "quality_profile": _q_quality_profile,
         "lm_perplexity": _q_lm_perplexity,
@@ -1558,6 +1595,56 @@ def _embedding_neardup_oracle():
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.999
     """
+
+
+# Incremental minhash near-dup (minhash_seen_matches): seen corpus =
+# doc_id%3==0 reduced to md5-portable signatures; new batch banded
+# against it (bands compared BY VALUE -- the engine's xxhash64 band
+# key is equality-preserving on the slices); verification = the
+# signature-component agreement estimator, no seen text touched.
+_MINHASH_INCR_SQL = """
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+        FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               substr(t, unnest(generate_series(1,
+                   greatest(length(t) - 7, 1))), 8) AS shingle
+        FROM norm
+    ),
+    hashed AS (
+        SELECT s.doc_id, i.range AS i,
+               min(('0x' || substr(md5(s.shingle || ':' ||
+                   CAST(i.range AS VARCHAR)), 1, 15))::BIGINT) AS h
+        FROM shingles s CROSS JOIN range(16) i
+        GROUP BY s.doc_id, i.range
+    ),
+    bands AS (
+        SELECT doc_id, i // 4 AS band_idx,
+               string_agg(CAST(h AS VARCHAR), ':' ORDER BY i)
+                   AS band_key
+        FROM hashed GROUP BY doc_id, i // 4
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0
+    ),
+    est AS (
+        SELECT c.new_id, c.seen_id,
+               round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END)
+                     / 16.0, 6) AS est_jaccard
+        FROM cands c
+        JOIN hashed ha ON ha.doc_id = c.new_id
+        JOIN hashed hb ON hb.doc_id = c.seen_id AND hb.i = ha.i
+        GROUP BY c.new_id, c.seen_id
+    )
+    SELECT new_id, seen_id, est_jaccard FROM est
+    WHERE est_jaccard >= 0.25
+"""
 
 
 _MINHASH_MD5_PAIRS_SQL = """
@@ -2364,14 +2451,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE i <= greatest(n_grams - 4, 0) + 1
         """,
         "ann_lsh_topk": _lsh_ann_oracle(),
-        "embedding_neardup_exact": f"""
-            WITH aug AS ({_AUG_EMBEDDINGS_SQL})
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.999
+        "embedding_neardup": f"""
+            SELECT 'lsh' AS mode, q.* FROM (
+                {_embedding_neardup_oracle()}
+            ) q
+            UNION ALL
+            SELECT 'exact' AS mode, r.* FROM (
+                WITH aug AS ({_AUG_EMBEDDINGS_SQL})
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(a.v, b.v), 6)
+                           AS cosine
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                      >= 0.999
+            ) r
         """,
-        "embedding_neardup": _embedding_neardup_oracle(),
+        "minhash_incremental": _MINHASH_INCR_SQL,
         "lm_perplexity": _LM_PPL_SQL,
         "repetition_profile": """
             WITH w AS (

