@@ -101,6 +101,19 @@ def _build_queries(spark, sf_dir):
     def q_text_profile():
         return text_profile(docs).agg(F.sum("n_tokens")).first()[0]
 
+    # the LM is trained ONCE on the clean slice (production trains per
+    # clean-corpus refresh, scores every crawl batch); the timed body is
+    # the crawl-sized part: ship the pruned model + narrow-score the
+    # whole corpus (udf path, zero shuffles)
+    from sift_spark.operators.lm import score_perplexity, train_ngram_lm
+
+    ppl_lm = train_ngram_lm(
+        docs.filter(F.col("doc_id") % 3 == 0), n=3, min_count=2)
+
+    def q_lm_ppl():
+        return score_perplexity(docs, ppl_lm, method="udf").filter(
+            F.col("lm_ppl").isNotNull()).count()
+
     return {
         "extract": q_extract,
         "extract_search": q_extract_search,
@@ -110,6 +123,7 @@ def _build_queries(spark, sf_dir):
         "dedup_minhash": q_dedup_minhash,
         "ann_topk": q_ann,
         "text_profile": q_text_profile,
+        "lm_ppl": q_lm_ppl,
     }
 
 

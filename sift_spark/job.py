@@ -146,7 +146,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      span_hash_mode="rolling",
                      seen_df=None, write_hashes=False,
                      seen_sigs_df=None, write_sigs=False,
-                     sig_jaccard=0.5):
+                     sig_jaccard=0.5,
+                     lm_model=None, max_ppl=0.0):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -218,6 +219,21 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                 & (F.col("quality_score") >= min_quality))
     )
     curated = observed(curated, "after_gates")
+    if lm_model is not None and max_ppl:
+        # MODEL-BASED quality gate (CCNet-style, operators/lm.py):
+        # keep documents whose stupid-backoff n-gram perplexity
+        # against the clean-slice LM is <= max_ppl. The udf method
+        # keeps the gate fully narrow (the pruned model ships to the
+        # workers); lm_model is an NgramLM or a saved-model path.
+        from .operators.lm import filter_by_perplexity, load_lm
+
+        model = (load_lm(spark, lm_model)
+                 if isinstance(lm_model, str) else lm_model)
+        curated = observed(
+            filter_by_perplexity(curated, model, max_ppl,
+                                 method="udf"),
+            "after_ppl_gate",
+        )
     if redact:
         curated = redact_pii(curated).drop("text").withColumnRenamed(
             "text_redacted", "text"
@@ -413,6 +429,13 @@ def curate_main(argv=None):
     parser.add_argument("--output", required=True, help="output directory")
     parser.add_argument("--lang", default="en")
     parser.add_argument("--min-quality", type=float, default=0.5)
+    parser.add_argument("--lm-model", default=None,
+                        help="saved n-gram LM directory (train via "
+                             "'train-lm') for the CCNet-style "
+                             "perplexity gate; requires --max-ppl")
+    parser.add_argument("--max-ppl", type=float, default=0.0,
+                        help="drop documents whose LM perplexity "
+                             "exceeds this (0 = gate off)")
     parser.add_argument("--redact-pii", action="store_true")
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--benchmark", default=None,
@@ -484,6 +507,8 @@ def curate_main(argv=None):
         args.output,
         lang=args.lang,
         min_quality=args.min_quality,
+        lm_model=args.lm_model,
+        max_ppl=args.max_ppl,
         redact=args.redact_pii,
         dedup=not args.no_dedup,
         benchmark_df=(spark.read.parquet(args.benchmark)
@@ -506,6 +531,49 @@ def curate_main(argv=None):
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
     print(f"curated rows={out.count()} {stages}")
+    if owns_session:
+        spark.stop()
+
+
+def train_lm_main(argv=None):
+    """Train the CCNet-style stupid-backoff n-gram LM on a CLEAN corpus
+    and save it for curate/crawl-curate's --lm-model gate. Run once per
+    clean-corpus refresh; scoring jobs load the saved model."""
+    parser = argparse.ArgumentParser(
+        description="sift-spark n-gram LM training job"
+    )
+    parser.add_argument("--input", required=True,
+                        help="clean-corpus docs parquet (the Wikipedia"
+                             "-class slice, never the crawl)")
+    parser.add_argument("--output", required=True,
+                        help="model directory (counts parquet + "
+                             "_meta.json)")
+    parser.add_argument("--n", type=int, default=5,
+                        help="model order (default 5, KenLM's)")
+    parser.add_argument("--min-count", type=int, default=2,
+                        help="prune grams below this count (keeps the "
+                             "model broadcastable; N stays the "
+                             "pre-pruning total)")
+    parser.add_argument("--alpha", type=float, default=0.4)
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .operators.lm import save_lm, train_ngram_lm
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="sift-spark-train-lm", cores=args.cores)
+    lm = train_ngram_lm(
+        spark.read.parquet(args.input), n=args.n,
+        text_col=args.text_col, min_count=args.min_count,
+        alpha=args.alpha,
+    )
+    save_lm(lm, args.output)
+    kept = spark.read.parquet(args.output).count()
+    print(f"trained n={lm.n} tokens={lm.total_tokens} "
+          f"vocab={lm.vocab_size} grams_kept={kept}")
     if owns_session:
         spark.stop()
 
@@ -639,6 +707,10 @@ def crawl_curate_main(argv=None):
                              "domain (blocks subdomains) or exact host")
     parser.add_argument("--lang", default="en")
     parser.add_argument("--min-quality", type=float, default=0.5)
+    parser.add_argument("--lm-model", default=None,
+                        help="saved n-gram LM for the perplexity gate "
+                             "(see curate --lm-model)")
+    parser.add_argument("--max-ppl", type=float, default=0.0)
     parser.add_argument("--redact-pii", action="store_true")
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--benchmark", default=None,
@@ -688,6 +760,8 @@ def crawl_curate_main(argv=None):
         block_by=args.block_by,
         lang=args.lang,
         min_quality=args.min_quality,
+        lm_model=args.lm_model,
+        max_ppl=args.max_ppl,
         redact=args.redact_pii,
         dedup=not args.no_dedup,
         benchmark_df=(spark.read.parquet(args.benchmark)
@@ -724,6 +798,8 @@ def main(argv=None):
         return curate_main(argv[1:])
     if argv and argv[0] == "crawl-curate":
         return crawl_curate_main(argv[1:])
+    if argv and argv[0] == "train-lm":
+        return train_lm_main(argv[1:])
     parser = argparse.ArgumentParser(description="sift-spark extraction job")
     parser.add_argument("--input", required=True, help="pages parquet path")
     parser.add_argument("--output", required=True, help="output directory")

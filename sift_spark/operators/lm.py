@@ -282,18 +282,17 @@ def score_perplexity(docs_df, lm, text_col="text", id_col="doc_id",
     return agg.unionByName(empties)
 
 
-def _score_perplexity_udf(docs_df, lm, text_col, id_col):
-    """Narrow scorer: counts collected to {(order, gram): cnt} and
-    Spark-broadcast; one Arrow-batched pandas UDF re-implements the
-    identical backoff cascade in numpy-free pure Python (the per-token
-    dict lookups dominate; vectorizing the string joins buys nothing).
-    Zero shuffles -- the production path once the pruned model fits in
-    executor memory."""
+def _ppl_udf(spark, lm):
+    """The narrow scoring kernel: counts collected to {(order, gram):
+    cnt} and Spark-broadcast; one Arrow-batched pandas UDF
+    re-implements the identical backoff cascade in pure Python (the
+    per-token dict lookups dominate; vectorizing the string joins buys
+    nothing). Returns a udf mapping text -> struct(lm_tokens, lm_oov,
+    lm_logprob10, lm_ppl)."""
     import re
 
     from pyspark.sql import types as T
 
-    spark = docs_df.sparkSession
     model = {(r["order"], r["gram"]): r["cnt"]
              for r in lm.counts.collect()}
     bc = spark.sparkContext.broadcast(model)
@@ -344,8 +343,15 @@ def _score_perplexity_udf(docs_df, lm, text_col, id_col):
             out, columns=["lm_tokens", "lm_oov", "lm_logprob10",
                           "lm_ppl"])
 
+    return _score
+
+
+def _score_perplexity_udf(docs_df, lm, text_col, id_col):
+    """Zero-shuffle scorer: the kernel from :func:`_ppl_udf` applied
+    as one narrow projection."""
+    score = _ppl_udf(docs_df.sparkSession, lm)
     return docs_df.select(
-        F.col(id_col), _score(F.col(text_col)).alias("_s")
+        F.col(id_col), score(F.col(text_col)).alias("_s")
     ).select(id_col, "_s.*")
 
 
@@ -374,17 +380,23 @@ def perplexity_thresholds(scored_df, fractions=(1 / 3, 2 / 3),
 
 
 def filter_by_perplexity(docs_df, lm, max_ppl, text_col="text",
-                         id_col="doc_id", method="join"):
+                         id_col="doc_id", method="udf"):
     """Keep documents whose LM perplexity is <= max_ppl (head+middle of
     the CCNet split, with max_ppl = the tail threshold). method='udf'
-    keeps the whole gate narrow (score columns appended in place, no
-    join-back); method='join' computes the score table and semi-joins
-    it back on doc_id."""
+    (default) is a FULLY NARROW gate: the score struct is computed in
+    place by the broadcast-model kernel and filtered -- zero shuffles,
+    no join-back, the shape a crawl-scale quality gate needs.
+    method='join' computes the oracle-twin score table and left-semi
+    joins it back on doc_id (one extra id shuffle; use it when the
+    model is too big to collect)."""
     if method == "udf":
-        scored = _score_perplexity_udf(docs_df, lm, text_col, id_col)
-        keep = scored.filter(F.col("lm_ppl") <= max_ppl).select(id_col)
-    else:
-        keep = score_perplexity(
-            docs_df, lm, text_col=text_col, id_col=id_col
-        ).filter(F.col("lm_ppl") <= max_ppl).select(id_col)
+        score = _ppl_udf(docs_df.sparkSession, lm)
+        return (
+            docs_df.withColumn("_lm_s", score(F.col(text_col)))
+            .filter(F.col("_lm_s.lm_ppl") <= max_ppl)
+            .drop("_lm_s")
+        )
+    keep = score_perplexity(
+        docs_df, lm, text_col=text_col, id_col=id_col
+    ).filter(F.col("lm_ppl") <= max_ppl).select(id_col)
     return docs_df.join(keep, id_col, "left_semi")

@@ -202,3 +202,73 @@ def test_buckets_and_thresholds(spark):
     assert buckets[1] == "head"
     assert buckets[3] == "tail"
     assert buckets[4] == "tail"  # null ppl is not clean text
+
+
+def test_train_lm_cli_and_curation_gate(spark, tmp_path):
+    """The job-level loop: `train-lm` saves a model from a clean
+    corpus; `run_curation_job(lm_model=<path>, max_ppl=...)` loads it
+    and drops the high-perplexity document while clean-slice-like text
+    survives (stage after_ppl_gate in the funnel metrics)."""
+    from sift_spark.job import main, run_curation_job
+
+    base = ("the quiet village market opens early in the morning and "
+            "the farmers arrange their stalls with fruit and bread "
+            "while the church bell rings over the square. ")
+    clean_dir = str(tmp_path / "clean_in")
+    spark.createDataFrame(
+        [(i, base + f"entry number {i} of the chronicle.")
+         for i in range(5)],
+        ["doc_id", "text"]).write.parquet(clean_dir)
+    model_dir = str(tmp_path / "lm_model")
+    main(["train-lm", "--input", clean_dir, "--output", model_dir,
+          "--n", "3", "--min-count", "1"])
+
+    from sift_spark.operators.lm import load_lm, score_perplexity
+
+    lm = load_lm(spark, model_dir)
+    assert lm.n == 3
+
+    # both docs pass the heuristic gates; only the scrambled one has
+    # high perplexity against the clean-slice model
+    good = base + "entry number nine of the chronicle."
+    scrambled = " ".join(reversed(good.replace(".", "").split())) + "."
+    docs_dir = str(tmp_path / "gate_in")
+    spark.createDataFrame(
+        [(1, good), (2, scrambled)], ["doc_id", "text"]
+    ).write.parquet(docs_dir)
+
+    docs = spark.read.parquet(docs_dir)
+    ppl = {r["doc_id"]: r["lm_ppl"]
+           for r in score_perplexity(docs, lm).collect()}
+    cutoff = (ppl[1] + ppl[2]) / 2
+    assert ppl[1] < cutoff < ppl[2]
+
+    out_dir = str(tmp_path / "gate_out")
+    out, metrics = run_curation_job(
+        spark, docs, out_dir, min_quality=0.0,
+        lm_model=model_dir, max_ppl=cutoff)
+    assert metrics["after_ppl_gate"] == 1
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_filter_udf_path_is_narrow(spark):
+    """filter_by_perplexity(method='udf') must not shuffle or join --
+    the score struct is computed and filtered in place."""
+    import contextlib
+    import io
+
+    from sift_spark.operators.lm import (
+        filter_by_perplexity,
+        train_ngram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        ["doc_id", "text"])
+    lm = train_ngram_lm(docs, n=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filter_by_perplexity(docs, lm, 100.0).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
