@@ -104,11 +104,16 @@ def _build_queries(spark, sf_dir):
     # the LM is trained ONCE on the clean slice (production trains per
     # clean-corpus refresh, scores every crawl batch); the timed body is
     # the crawl-sized part: ship the pruned model + narrow-score the
-    # whole corpus (udf path, zero shuffles)
+    # whole corpus (udf path, zero shuffles). lm.counts is a LAZY plan:
+    # persist + materialize it here, else every timed rep would re-run
+    # the training aggregations inside the scorer's model collect
+    # (review r7 -- the number would measure training, not scoring)
     from sift_spark.operators.lm import score_perplexity, train_ngram_lm
 
     ppl_lm = train_ngram_lm(
         docs.filter(F.col("doc_id") % 3 == 0), n=3, min_count=2)
+    ppl_lm.counts = ppl_lm.counts.persist()
+    ppl_lm.counts.count()
 
     def q_lm_ppl():
         return score_perplexity(docs, ppl_lm, method="udf").filter(

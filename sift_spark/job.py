@@ -219,6 +219,13 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                 & (F.col("quality_score") >= min_quality))
     )
     curated = observed(curated, "after_gates")
+    if lm_model is not None and not max_ppl:
+        # a model with no threshold would silently skip the gate the
+        # operator asked for (review r7) -- fail loudly instead
+        raise ValueError(
+            "lm_model given but max_ppl is 0/unset -- pass max_ppl "
+            "(the tail perplexity threshold) to enable the gate"
+        )
     if lm_model is not None and max_ppl:
         # MODEL-BASED quality gate (CCNet-style, operators/lm.py):
         # keep documents whose stupid-backoff n-gram perplexity
@@ -259,11 +266,16 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # minhash signature table (a previous run's `_sigs` sink) and
         # drops signature-estimated near-duplicates of content that
         # already shipped.
-        from .operators.dedup import dedup_against_seen_minhash
+        from .operators.dedup import (
+            bucket_cap_observation,
+            dedup_against_seen_minhash,
+        )
 
+        seen_cap_obs = bucket_cap_observation("curate_seen_neardup_cap")
         curated = observed(
             dedup_against_seen_minhash(curated, seen_sigs_df,
-                                       min_est_jaccard=sig_jaccard),
+                                       min_est_jaccard=sig_jaccard,
+                                       observation=seen_cap_obs),
             "after_seen_neardup",
         )
     if dedup:
@@ -334,8 +346,6 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             hashes.distinct()
             .write.mode("overwrite").parquet(output_dir + "_hashes")
         )
-    if span_persisted is not None:
-        span_persisted.unpersist()
     if write_sigs:
         # NEAR-dup snapshot sink: the curated corpus's minhash
         # signature table (~256 B/doc at 32 hashes) for the next run's
@@ -343,14 +353,31 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # Computed from the written sink scan, never a pipeline re-run.
         from .operators.dedup import char_shingles, minhash_signatures
 
-        (
-            minhash_signatures(
-                char_shingles(out.filter(F.col("text").isNotNull()),
-                              distinct=False),
-                n_hashes=32,
-            )
-            .write.mode("overwrite").parquet(output_dir + "_sigs")
+        sigs = minhash_signatures(
+            char_shingles(out.filter(F.col("text").isNotNull()),
+                          distinct=False),
+            n_hashes=32,
         )
+        if span_persisted is not None:
+            # PRE-span signatures too (same gap the pre-span hash
+            # snapshot closes for exact dedup): a re-crawl arrives
+            # with its spans intact and is checked against the
+            # snapshot pre-excision, so a doc whose spans were cut
+            # would otherwise sit below the jaccard gate vs its own
+            # excised signature (review r7)
+            sigs = sigs.unionByName(minhash_signatures(
+                char_shingles(
+                    span_persisted.filter(F.col("text").isNotNull()),
+                    distinct=False),
+                n_hashes=32,
+            ))
+        sigs.write.mode("overwrite").parquet(output_dir + "_sigs")
+    if span_persisted is not None:
+        # unpersist only after BOTH snapshot sinks have consumed the
+        # pre-span frame (hashes + sigs); unpersisting earlier would
+        # silently re-run the whole gate/redact/dedup lineage for the
+        # sig pass
+        span_persisted.unpersist()
     if temperature_stratum:
         # corpus mixing between curation and packing: the rate
         # derivation's groupBy-count runs over the WRITTEN sink (a
@@ -418,6 +445,15 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             metrics[stage] = None  # AQE-pruned empty subtree
     if temperature_stratum:
         metrics["mix_null_stratum"] = mix_null_stratum
+    if seen_sigs_df is not None:
+        # 'no silent caps': surface how many seen band rows the
+        # hot-bucket cap excluded from near-dup matching (recall lost
+        # to boundedness -- review r7)
+        try:
+            metrics["seen_neardup_capped_band_rows"] = \
+                seen_cap_obs.get["n_dropped_rows"]
+        except Exception:
+            metrics["seen_neardup_capped_band_rows"] = None
     return out, metrics
 
 

@@ -567,8 +567,23 @@ def minhash_seen_matches(new_sigs, seen_sigs, n_bands=8, n_hashes=None,
     `observation`. Candidates then join their signatures back
     (id-keyed equi-joins) for the component-agreement estimate. The
     snapshot costs 8*n_hashes bytes per historical doc (~256 B at
-    H=32)."""
+    H=32).
+
+    Both sides MUST come from the same minhash configuration: the
+    signature LENGTHS are checked (one row probed per side -- cheap on
+    a materialized snapshot; a mismatched snapshot would null-pad the
+    zip_with, deflate every estimate, and slice degenerate bands), but
+    the hash FAMILY (portable_hash) cannot be told apart from the
+    values -- mixing families simply matches nothing, so keep the
+    snapshot's writer and reader on one setting."""
     n_hashes = _resolve_n_hashes(new_sigs, n_hashes)
+    seen_probe = seen_sigs.select("sig").first()  # empty seen is a no-op
+    if seen_probe is not None and len(seen_probe["sig"]) != n_hashes:
+        raise ValueError(
+            f"seen snapshot signatures carry {len(seen_probe['sig'])} "
+            f"hashes but the new batch uses {n_hashes} -- snapshot "
+            "writer and reader must share n_hashes"
+        )
     new_bands = _band_table(new_sigs, n_bands, n_hashes, id_col) \
         .withColumnRenamed(id_col, "new_id")
     seen_bands = _band_table(seen_sigs, n_bands, n_hashes, id_col) \

@@ -109,7 +109,13 @@ def train_ngram_lm(clean_df, n=5, text_col="text", min_count=1,
     for the narrow scoring path); N and the vocabulary size are
     captured pre-pruning. Two driver-side scalars are collected here --
     training is the small-corpus stage, and scoring needs them as plan
-    literals."""
+    literals.
+
+    The returned counts table is a LAZY plan: persist it (or
+    save_lm/load_lm, which materializes through parquet) before
+    scoring -- the scorer references it once per order (join path) or
+    collects it (udf path), and an uncached lineage re-runs the
+    training aggregations each time."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = clean_df.select(
@@ -388,7 +394,13 @@ def filter_by_perplexity(docs_df, lm, max_ppl, text_col="text",
     no join-back, the shape a crawl-scale quality gate needs.
     method='join' computes the oracle-twin score table and left-semi
     joins it back on doc_id (one extra id shuffle; use it when the
-    model is too big to collect)."""
+    model is too big to collect).
+
+    Null/empty-text rows are DROPPED in both modes (their perplexity
+    is null, and an empty document is not clean text) -- deliberately
+    unlike the dedup family's null pass-through: this is a quality
+    gate, not an identity-preserving transform. Pre-filter
+    `text IS NULL` rows out if they must survive."""
     if method == "udf":
         score = _ppl_udf(docs_df.sparkSession, lm)
         return (

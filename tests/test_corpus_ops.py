@@ -1733,6 +1733,53 @@ def test_curation_incremental_neardup_loop(spark, tmp_path):
         seen_sigs_df=sigs, sig_jaccard=0.5)
     assert m2["after_seen_neardup"] == 1
     assert {r["doc_id"] for r in out2.collect()} == {201}
+    # 'no silent caps': the hot-band drop count is in the metrics
+    assert m2["seen_neardup_capped_band_rows"] == 0
+
+
+def test_curation_span_sigs_catch_recrawl(spark, tmp_path):
+    """review r7: with span_k + write_sigs, the _sigs snapshot must
+    also carry PRE-span-excision signatures -- a re-crawl arrives with
+    its spans intact and is near-dup-checked against the snapshot
+    pre-excision."""
+    from sift_spark.job import run_curation_job
+
+    passage = " ".join(
+        ["the shared quoted passage continues with plenty of good and "
+         "natural english words that clear the quality gates easily"] * 3
+    ).split()
+    shared = " ".join(passage[:40])
+    base = ("this is a perfectly normal english document about the "
+            "weather and the mountains with commas, sentences and the "
+            "usual words flowing naturally. ")
+    doc2 = ("another quite different english text about rivers and "
+            "valleys with the usual words and commas, naturally. "
+            + shared + " trailing remark here at the end.")
+    rows = [(1, base + shared + " and then some closing words here."),
+            (2, doc2)]
+    w1_in, w1_out = str(tmp_path / "sw1_in"), str(tmp_path / "sw1")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(w1_in)
+    out1, _ = run_curation_job(
+        spark, spark.read.parquet(w1_in), w1_out,
+        span_k=10, write_sigs=True)
+    got1 = {r["doc_id"]: r["text"] for r in out1.collect()}
+    assert shared not in got1[2]  # span cut from the non-canonical doc
+    sigs = spark.read.parquet(w1_out + "_sigs")
+    assert sigs.count() == 4  # 2 post-span + 2 pre-span rows
+
+    # week 2: EXACT re-crawl of doc2's original (spans intact) -- its
+    # post-excision form lost ~40 words, so only the pre-span
+    # signature rows can catch it
+    week2 = [(20, doc2),
+             (21, base + "a genuinely new week two article with the "
+                  "usual natural english words flowing along nicely.")]
+    w2_in, w2_out = str(tmp_path / "sw2_in"), str(tmp_path / "sw2")
+    spark.createDataFrame(week2, ["doc_id", "text"]).write.parquet(w2_in)
+    out2, m2 = run_curation_job(
+        spark, spark.read.parquet(w2_in), w2_out,
+        seen_sigs_df=sigs, sig_jaccard=0.7)
+    assert m2["after_seen_neardup"] == 1
+    assert {r["doc_id"] for r in out2.collect()} == {21}
 
 
 def test_minhash_against_seen(spark):
@@ -1788,6 +1835,18 @@ def test_minhash_against_seen(spark):
         new, hot_sigs, k=8, n_hashes=16, n_bands=4,
         min_est_jaccard=0.5, max_bucket_size=2).collect()}
     assert kept_capped == {10, 11}
+
+    # a snapshot signed with a different n_hashes must fail fast, not
+    # silently deflate every estimate (review r7)
+    with pytest.raises(ValueError, match="share n_hashes"):
+        minhash_seen_matches(new_sigs, minhash_signatures(
+            char_shingles(seen, 8, distinct=False), n_hashes=8),
+            n_bands=4, n_hashes=16).collect()
+    # an EMPTY snapshot is a no-op, not a crash
+    empty_sigs = seen_sigs.filter("doc_id < 0")
+    assert {r["doc_id"] for r in dedup_against_seen_minhash(
+        new, empty_sigs, k=8, n_hashes=16, n_bands=4).collect()
+    } == {10, 11}
 
 
 def test_curation_mix_null_stratum_metric(spark, tmp_path):

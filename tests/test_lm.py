@@ -272,3 +272,15 @@ def test_filter_udf_path_is_narrow(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_lm_model_without_threshold_fails_loudly(spark, tmp_path):
+    """review r7: lm_model with max_ppl unset must raise, not silently
+    skip the gate the operator asked for."""
+    from sift_spark.job import run_curation_job
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_ppl"):
+        run_curation_job(spark, docs, str(tmp_path / "out"),
+                         lm_model="/nonexistent/model")
