@@ -610,6 +610,26 @@ def _q_ann_ivf_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, query, k=10, n_clusters=16, nprobe=16)
 
 
+def _q_ann_topk(spark, sf_dir):
+    """All three ANN strategies in ONE gate row (folded round 7 to
+    free two slots under the driver's 50-row cap): method='brute' is
+    the exact zip_with scan, 'lsh' the hyperplane-bucketed multiprobe
+    path, 'ivf' the k-means coarse quantizer run in its degenerate
+    probe-all form (nprobe = n_clusters) so the exact oracle applies
+    to the full assign -> probe -> scan plumbing.  Pruned-probe IVF
+    recall is covered by units in tests/test_corpus_ops.py."""
+    brute = _q_ann_cosine_topk(spark, sf_dir).withColumn(
+        "method", F.lit("brute")
+    )
+    lsh = _q_ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    ivf = _q_ann_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return (
+        brute.unionByName(lsh)
+        .unionByName(ivf)
+        .select("method", "vec_id", "cosine")
+    )
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup, BOTH variants in one row (folded
     round 7 to free a gate slot for minhash_incremental): mode='lsh'
@@ -1309,9 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "simhash_md5": _q_simhash_md5,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_topk": _q_ann_topk,
         "embedding_neardup": _q_embedding_neardup,
         "minhash_incremental": _q_minhash_incremental,
         # text analysis
@@ -2412,10 +2430,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(CAST(a.simhash AS BIGINT),
                                 CAST(b.simhash AS BIGINT))) <= 3
         """,
-        "ann_cosine_topk": _ANN_BRUTE_SQL,
-        # degenerate IVF (nprobe = n_clusters) must equal brute force --
-        # the shared oracle hash-checks the assign/probe/scan plumbing
-        "ann_ivf_topk": _ANN_BRUTE_SQL,
+        # folded: brute + degenerate IVF (nprobe = n_clusters, must equal
+        # brute force -- hash-checks the assign/probe/scan plumbing) +
+        # the multiprobe LSH path, one method-labelled row each
+        "ann_topk": f"""
+            SELECT 'brute' AS method, * FROM ({_ANN_BRUTE_SQL})
+            UNION ALL
+            SELECT 'lsh' AS method, * FROM ({_lsh_ann_oracle()})
+            UNION ALL
+            SELECT 'ivf' AS method, * FROM ({_ANN_BRUTE_SQL})
+        """,
         "quality_profile": quality_sql,
         "winnowing_md5": """
             WITH norm AS (
@@ -2450,7 +2474,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id, fingerprint FROM wins
             WHERE i <= greatest(n_grams - 4, 0) + 1
         """,
-        "ann_lsh_topk": _lsh_ann_oracle(),
         "embedding_neardup": f"""
             SELECT 'lsh' AS mode, q.* FROM (
                 {_embedding_neardup_oracle()}
