@@ -630,6 +630,156 @@ def _q_ann_topk(spark, sf_dir):
     )
 
 
+_NODE_CLF_ITER = 10
+
+
+def _synthetic_node_features(spark, sf_dir):
+    """Deterministic node-feature table derived from documents by md5
+    arithmetic: 8 'nodes' per doc, three features on the exact 2^-10
+    grid, and a linearly-separable label (2*x1 - x2 + 0.5*x3 > 0.4).
+    Every value is md5-portable, so DuckDB rebuilds the SAME table --
+    the classifier's real input (html_node_table features) flows
+    through an extraction UDF no SQL can express; this construction
+    puts the TRAINING LOOP itself under the exact-hash gate."""
+    nodes = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i")
+    )
+    uid = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("i").cast("string")
+    )
+
+    def feat(tag):
+        h = F.conv(
+            F.substring(F.md5(F.concat(uid, F.lit(f":{tag}"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        return (h % 1024).cast("double") / F.lit(1024.0)
+
+    feats = nodes.select(
+        uid.alias("item"),
+        feat("a").alias("x1"),
+        feat("b").alias("x2"),
+        feat("c").alias("x3"),
+    )
+    label = (
+        F.lit(2.0) * F.col("x1") - F.col("x2")
+        + F.lit(0.5) * F.col("x3")
+        > F.lit(0.4)
+    ).cast("int").cast("double")
+    return feats.withColumn("y", label)
+
+
+def _q_node_classifier(spark, sf_dir):
+    """Learned boilerplate classifier TRAINING LOOP under the exact
+    gate: batch logistic regression fitted by pure aggregations
+    (sift_spark/operators/nodeclf.py) -- fixed-point quantised
+    gradient-descent with the IEEE-exact rational sigmoid link, so
+    every weight and every score is bit-identical to the DuckDB
+    oracle's unrolled-CTE re-derivation of the same 10 steps. The
+    production use (readability weak labels over html_node_table) is
+    covered by units in tests/test_nodeclf.py; this row proves the
+    distributed trainer itself."""
+    from sift_spark.operators.nodeclf import (
+        logreg_score_col,
+        train_logreg,
+    )
+
+    data = _synthetic_node_features(spark, sf_dir)
+    model = train_logreg(
+        data, ["x1", "x2", "x3"], "y", n_iter=_NODE_CLF_ITER,
+        link="rational",
+    )
+    weights = spark.createDataFrame(
+        [("weight", "intercept", model["intercept"])]
+        + [
+            ("weight", name, w)
+            for name, w in zip(["x1", "x2", "x3"], model["weights"])
+        ],
+        schema="kind string, item string, value double",
+    )
+    scores = data.select(
+        F.lit("score").alias("kind"),
+        F.col("item"),
+        logreg_score_col(["x1", "x2", "x3"], model, "rational").alias(
+            "value"
+        ),
+    )
+    return weights.unionByName(scores)
+
+
+def _node_clf_oracle(n_iter=_NODE_CLF_ITER):
+    """Unrolled-CTE mirror of the quantised GD loop: w{k} tables carry
+    the weight vector after step k; every arithmetic op is either
+    exact (power-of-two scaling, floor, grid addition) or correctly
+    rounded identically by IEEE (+ - * /), so the hashes match
+    bit-for-bit."""
+    feat = lambda tag: (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        f"CAST(i.range AS VARCHAR) || ':{tag}'), 1, 8))::BIGINT % 1024)"
+        " / 1024.0"
+    )
+    q = "floor(({expr}) * 1048576.0) / 1048576.0"
+    sig = "0.5 + 0.5 * z / (1.0 + abs(z))"
+    zexpr = "b + w1*x1 + w2*x2 + w3*x3"
+    ctes = [
+        f"""raw AS MATERIALIZED (
+            SELECT CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(i.range AS VARCHAR) AS item,
+                   {feat('a')} AS x1, {feat('b')} AS x2,
+                   {feat('c')} AS x3
+            FROM documents CROSS JOIN range(8) i
+        )""",
+        """data AS MATERIALIZED (
+            SELECT item, x1, x2, x3,
+                   CASE WHEN 2.0*x1 - x2 + 0.5*x3 > 0.4
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM raw
+        )""",
+        """lrt AS MATERIALIZED (
+            SELECT 4.0 / pow(2.0, ceil(log2(CAST(count(*) AS DOUBLE))))
+                       AS lr
+            FROM data
+        )""",
+        "w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    upd = (
+        "greatest(-16.0, least(16.0, {w} - "
+        "floor(lr * {g} * 1048576.0) / 1048576.0))"
+    )
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+            SELECT {q.format(expr=sig)} - y AS d, x1, x2, x3
+            FROM (SELECT {zexpr} AS z, x1, x2, x3, y
+                  FROM data, w{k - 1})
+        )""")
+        ctes.append(f"""s{k} AS MATERIALIZED (
+            SELECT sum(d) AS gb, sum(d*x1) AS g1,
+                   sum(d*x2) AS g2, sum(d*x3) AS g3
+            FROM p{k}
+        )""")
+        ctes.append(f"""w{k} AS MATERIALIZED (
+            SELECT {upd.format(w='b', g='gb')} AS b,
+                   {upd.format(w='w1', g='g1')} AS w1,
+                   {upd.format(w='w2', g='g2')} AS w2,
+                   {upd.format(w='w3', g='g3')} AS w3
+            FROM w{k - 1}, s{k}, lrt
+        )""")
+    ctes.append(f"""scored AS MATERIALIZED (
+            SELECT 'score' AS kind, item, {sig} AS value
+            FROM (SELECT item, {zexpr} AS z
+                  FROM data, w{n_iter})
+        )""")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT 'weight' AS kind, 'intercept' AS item, b AS value
+            FROM w{n_iter}
+        UNION ALL SELECT 'weight', 'x1', w1 FROM w{n_iter}
+        UNION ALL SELECT 'weight', 'x2', w2 FROM w{n_iter}
+        UNION ALL SELECT 'weight', 'x3', w3 FROM w{n_iter}
+        UNION ALL SELECT kind, item, value FROM scored
+    """
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup, BOTH variants in one row (folded
     round 7 to free a gate slot for minhash_incremental): mode='lsh'
@@ -1330,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_md5": _q_simhash_md5,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_topk": _q_ann_topk,
+        "node_classifier": _q_node_classifier,
         "embedding_neardup": _q_embedding_neardup,
         "minhash_incremental": _q_minhash_incremental,
         # text analysis
@@ -2433,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         # folded: brute + degenerate IVF (nprobe = n_clusters, must equal
         # brute force -- hash-checks the assign/probe/scan plumbing) +
         # the multiprobe LSH path, one method-labelled row each
+        "node_classifier": _node_clf_oracle(),
         "ann_topk": f"""
             SELECT 'brute' AS method, * FROM ({_ANN_BRUTE_SQL})
             UNION ALL
