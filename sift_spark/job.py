@@ -614,6 +614,41 @@ def train_lm_main(argv=None):
         spark.stop()
 
 
+def train_bpe_main(argv=None):
+    """Train a BPE vocabulary on a (curated) corpus and write the
+    tiktoken-format rank file that `--vocab` / packing consume --
+    crawl -> curate -> train-bpe -> pack closes the loop."""
+    parser = argparse.ArgumentParser(
+        description="sift-spark BPE vocab training job"
+    )
+    parser.add_argument("--input", required=True,
+                        help="docs parquet (curated corpus)")
+    parser.add_argument("--output", required=True,
+                        help="tiktoken rank-file path")
+    parser.add_argument("--vocab-size", type=int, default=1024,
+                        help="total vocab incl. the 256 byte tokens")
+    parser.add_argument("--min-freq", type=int, default=2,
+                        help="stop when no pair reaches this count")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .operators.bpe import train_bpe_vocab
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="sift-spark-train-bpe", cores=args.cores)
+    merges = train_bpe_vocab(
+        spark, spark.read.parquet(args.input), args.vocab_size,
+        args.output, text_col=args.text_col, min_freq=args.min_freq,
+    )
+    print(f"trained vocab_size={256 + len(merges)} "
+          f"merges={len(merges)} -> {args.output}")
+    if owns_session:
+        spark.stop()
+
+
 def run_crawl_curate_job(spark, warc_input, output_root,
                          params: SiftParams | None = None, n_parts=64,
                          resume=True, block_hosts=None, block_by="domain",
@@ -836,6 +871,8 @@ def main(argv=None):
         return crawl_curate_main(argv[1:])
     if argv and argv[0] == "train-lm":
         return train_lm_main(argv[1:])
+    if argv and argv[0] == "train-bpe":
+        return train_bpe_main(argv[1:])
     parser = argparse.ArgumentParser(description="sift-spark extraction job")
     parser.add_argument("--input", required=True, help="pages parquet path")
     parser.add_argument("--output", required=True, help="output directory")

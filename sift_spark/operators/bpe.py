@@ -1,0 +1,187 @@
+"""Distributed BPE vocabulary training (Sennrich et al. 2016).
+
+The pipeline could already ENCODE with a tiktoken-format vocab
+(core/counters.py BPETokenizer, packing's `vocab_path=`); this module
+PRODUCES one from the corpus, closing the loop: crawl -> curate ->
+train-bpe -> pack with the trained vocab.
+
+Spark-first shape (the one that survives 100 TB):
+
+1. ONE corpus pass builds the weighted DISTINCT PIECE table --
+   pre-tokenize natively (`regexp_extract_all` with the same
+   engine-portable FALLBACK_PATTERN the encoder uses), explode, and
+   groupBy piece.  Everything after runs on this compact table
+   (bounded by the corpus's surface vocabulary, millions of rows at
+   web scale -- NOT the corpus), which is the same trick production
+   trainers (HuggingFace tokenizers, SentencePiece) use.
+2. The merge loop is then: segment every distinct piece under the
+   current merge list (one Arrow-batched pandas UDF over the small
+   table), explode adjacent pairs weighted by piece frequency,
+   `groupBy(pair).sum(weight)` -- a map-side-combined aggregation whose
+   shuffle carries only distinct pairs -- and take the argmax on the
+   driver (a LIMIT-collect of the tied head, never the full table).
+   Re-segmenting from the merge list each round keeps the physical
+   plan ONE stage deep (re-applying k merges to the cached piece table
+   beats growing a k-deep lazy lineage that Spark would re-analyze
+   every iteration).
+
+Determinism: ties break exactly like the serial reference trainer
+(scripts/make_test_vocab.py): highest count, then smallest merged
+byte-string in the reference's reversed-byte order -- so distributed
+output == serial output, asserted in tests/test_bpe.py.
+
+Output is tiktoken's rank-file format (base64(token)<space>rank), the
+exact file `BPETokenizer.from_file` / `--vocab` consume.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.counters import FALLBACK_PATTERN
+
+
+def piece_count_table(docs_df, text_col="text"):
+    """(piece, weight): distinct pre-token pieces with corpus counts.
+    Native end-to-end -- regexp explode then a map-side-combined
+    groupBy; the only corpus-sized stage in BPE training."""
+    return (
+        docs_df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(FALLBACK_PATTERN), 0
+                )
+            ).alias("piece")
+        )
+        .where(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def _segment_pairs_udf(merges):
+    """mapInPandas stage: segment each piece under `merges` (applied in
+    rank order within each piece, the reference semantics) and emit one
+    row per ADJACENT PAIR with the piece's weight."""
+    import pandas as pd
+
+    merge_list = list(merges)
+
+    def run(iterator):
+        for pdf in iterator:
+            lefts, rights, weights = [], [], []
+            for piece, weight in zip(pdf["piece"], pdf["weight"]):
+                parts = [
+                    bytes([b]) for b in str(piece).encode("utf-8")
+                ]
+                for left, right in merge_list:
+                    i = 0
+                    while i < len(parts) - 1:
+                        if parts[i] == left and parts[i + 1] == right:
+                            parts[i : i + 2] = [left + right]
+                        else:
+                            i += 1
+                for a, b in zip(parts, parts[1:]):
+                    lefts.append(a)
+                    rights.append(b)
+                    weights.append(int(weight))
+            yield pd.DataFrame(
+                {"left": lefts, "right": rights, "w": weights}
+            )
+
+    return run
+
+
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("left", T.BinaryType()),
+        T.StructField("right", T.BinaryType()),
+        T.StructField("w", T.LongType()),
+    ]
+)
+
+# reference tie-break key (scripts/make_test_vocab.py): max by count,
+# then by the NEGATED byte sequence of the merged token -- i.e. the
+# lexicographically smallest merged bytes, longer preferred over its
+# own prefix
+_TIE_HEAD = 4096
+
+
+def _tie_key(row):
+    merged = bytes(row["left"]) + bytes(row["right"])
+    return (row["cnt"], [-x for x in merged])
+
+
+def train_bpe(docs_df, n_merges, text_col="text", min_freq=2):
+    """Learn `n_merges` merges from the corpus; returns the ordered
+    list of (left, right) byte pairs. Stops early when no pair reaches
+    `min_freq` (matching the serial trainer)."""
+    pieces = piece_count_table(docs_df, text_col).persist()
+    try:
+        merges = []
+        for _ in range(n_merges):
+            pairs = (
+                pieces.mapInPandas(
+                    _segment_pairs_udf(merges), _PAIR_SCHEMA
+                )
+                .groupBy("left", "right")
+                .agg(F.sum("w").alias("cnt"))
+            )
+            head = pairs.orderBy(F.desc("cnt")).limit(_TIE_HEAD).collect()
+            if not head:
+                break
+            top_cnt = head[0]["cnt"]
+            ties = [r for r in head if r["cnt"] == top_cnt]
+            if len(ties) == _TIE_HEAD:
+                # degenerate flat corpus: fall back to an exact
+                # collect of the tied stratum
+                ties = pairs.where(F.col("cnt") == top_cnt).collect()
+            best = max(ties, key=_tie_key)
+            if best["cnt"] < min_freq:
+                break
+            merges.append(
+                (bytes(best["left"]), bytes(best["right"]))
+            )
+    finally:
+        pieces.unpersist()
+    return merges
+
+
+def vocab_file_bytes(merges):
+    """tiktoken rank-file bytes: the 256 single-byte tokens then one
+    token per merge, ranks in training order."""
+    lines = [
+        base64.b64encode(bytes([rank])) + b" %d" % rank
+        for rank in range(256)
+    ]
+    lines += [
+        base64.b64encode(left + right) + b" %d" % (256 + i)
+        for i, (left, right) in enumerate(merges)
+    ]
+    return b"\n".join(lines) + b"\n"
+
+
+def save_vocab(spark, merges, path):
+    """Write the rank file through the Hadoop FileSystem API (local /
+    HDFS / s3a alike, same as the packing manifest)."""
+    from ..plans.fsio import write_text_file
+
+    write_text_file(
+        spark, path, vocab_file_bytes(merges).decode("ascii")
+    )
+
+
+def train_bpe_vocab(spark, docs_df, vocab_size, path,
+                    text_col="text", min_freq=2):
+    """End-to-end: learn (vocab_size - 256) merges and write the
+    tiktoken rank file `--vocab` consumes. Returns the merge list."""
+    if vocab_size <= 256:
+        raise ValueError("vocab_size must exceed the 256 byte tokens")
+    merges = train_bpe(
+        docs_df, vocab_size - 256, text_col=text_col, min_freq=min_freq
+    )
+    save_vocab(spark, merges, path)
+    return merges
