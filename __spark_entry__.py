@@ -1368,20 +1368,31 @@ def _q_span_dedup(spark, sf_dir):
     (Folded in for tpch_pricing_summary under the 50-row gate cap.)"""
     from sift_spark.operators.dedup import duplicated_span_dedup
 
-    out = duplicated_span_dedup(_docs(spark, sf_dir), k=20)
-    norm_clean = F.array_join(
-        F.filter(
-            F.split(F.col("text_clean"), r"[ \t\r\n\f]+"),
-            lambda w: w != "",
-        ),
-        " ",
+    docs = _docs(spark, sf_dir)
+    out = duplicated_span_dedup(docs, k=20)
+    # multi-whitespace twin (VERDICT r6 #3): every inter-word separator
+    # becomes ' \t ' -- the excision must preserve the untouched
+    # separators BYTE-EXACTLY, and because the separator is uniform the
+    # SQL oracle can rebuild the raw result as the ' \t '-joined kept
+    # words. Together the two columns pin raw-byte excision under the
+    # hash gate (arbitrary mixed whitespace stays pinned by the
+    # exact-output units).
+    ws_docs = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " ", " \t ").alias("text"),
+    )
+    out_ws = duplicated_span_dedup(ws_docs, k=20).select(
+        "doc_id", F.md5(F.col("text_clean")).alias("clean_md5_ws")
     )
     return out.select(
         "doc_id",
-        F.md5(norm_clean).alias("clean_md5"),
+        # RAW bytes, no normalization: the corpus is single-spaced with
+        # no edge whitespace, so untouched docs equal their input and
+        # excised docs equal the ' '-joined kept words
+        F.md5(F.col("text_clean")).alias("clean_md5"),
         "n_words",
         "n_dropped",
-    )
+    ).join(out_ws, "doc_id", "left")
 
 
 def _q_pack_materialize(spark, sf_dir):
@@ -2031,18 +2042,27 @@ _SPAN_DEDUP_SQL = r"""
         WHERE c.doc_id IS NULL
     ),
     agg AS (
+        -- raw-byte reconstructions: the corpus is uniformly
+        -- single-spaced, so the operator's byte-preserving excision
+        -- yields exactly the ' '-joined kept words; the ' \t '
+        -- separator twin mirrors the regexp_replace'd input the same
+        -- way (uniform separator -> S-joined kept words)
         SELECT doc_id, count(*) AS n_kept,
-               string_agg(word, ' ' ORDER BY idx) AS text_clean
+               string_agg(word, ' ' ORDER BY idx) AS text_clean,
+               string_agg(word, ' ' || chr(9) || ' ' ORDER BY idx)
+                   AS text_clean_ws
         FROM kept GROUP BY doc_id
     )
     SELECT b.doc_id,
            md5(coalesce(a.text_clean, '')) AS clean_md5,
+           md5(coalesce(a.text_clean_ws, '')) AS clean_md5_ws,
            CAST(len(b.words) AS BIGINT) AS n_words,
            CAST(len(b.words) - coalesce(a.n_kept, 0) AS BIGINT)
                AS n_dropped
     FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
     UNION ALL
-    SELECT doc_id, NULL AS clean_md5, CAST(0 AS BIGINT) AS n_words,
+    SELECT doc_id, NULL AS clean_md5, NULL AS clean_md5_ws,
+           CAST(0 AS BIGINT) AS n_words,
            CAST(0 AS BIGINT) AS n_dropped
     FROM documents WHERE text IS NULL
 """

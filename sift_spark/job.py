@@ -145,6 +145,7 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      temperature_default_rate=0.0, span_k=0,
                      span_hash_mode="rolling",
                      seen_df=None, write_hashes=False,
+                     seen_bloom=False,
                      seen_sigs_df=None, write_sigs=False,
                      sig_jaccard=0.5,
                      lm_model=None, max_ppl=0.0):
@@ -255,6 +256,11 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
 
         seen_kwargs = ({} if "content_hash" in seen_df.columns
                        else {"seen_text_col": "text"})
+        if seen_bloom:
+            # exactness-preserving pre-filter: one agg pass over the
+            # snapshot sizes+builds the broadcast bloom; only
+            # might-contain rows enter the anti-join shuffle
+            seen_kwargs["bloom_items"] = "auto"
         curated = observed(
             dedup_against_seen(curated, seen_df, **seen_kwargs),
             "after_seen_dedup",
@@ -486,6 +492,11 @@ def curate_main(argv=None):
                         help="write <output>_hashes (distinct 16-byte "
                              "content hashes of the curated corpus) "
                              "for the next run's --seen")
+    parser.add_argument("--seen-bloom", action="store_true",
+                        help="broadcast bloom pre-filter over --seen "
+                             "(exactness-preserving; cuts the "
+                             "anti-join shuffle to might-contain "
+                             "candidates)")
     parser.add_argument("--seen-sigs", default=None,
                         help="prior snapshot's minhash signature "
                              "parquet (a previous run's _sigs sink) "
@@ -560,6 +571,7 @@ def curate_main(argv=None):
         span_hash_mode=args.span_hash_mode,
         seen_df=(spark.read.parquet(args.seen) if args.seen else None),
         write_hashes=args.write_hashes,
+        seen_bloom=args.seen_bloom,
         seen_sigs_df=(spark.read.parquet(args.seen_sigs)
                       if args.seen_sigs else None),
         write_sigs=args.write_sigs,
@@ -790,6 +802,9 @@ def crawl_curate_main(argv=None):
                         help="prior snapshot parquet for incremental "
                              "dedup (see curate --seen)")
     parser.add_argument("--write-hashes", action="store_true")
+    parser.add_argument("--seen-bloom", action="store_true",
+                        help="bloom pre-filter over --seen "
+                             "(see curate --seen-bloom)")
     parser.add_argument("--seen-sigs", default=None,
                         help="prior minhash signature parquet for "
                              "incremental NEAR-dup (see curate "
@@ -848,6 +863,7 @@ def crawl_curate_main(argv=None):
         span_hash_mode=args.span_hash_mode,
         seen_df=(spark.read.parquet(args.seen) if args.seen else None),
         write_hashes=args.write_hashes,
+        seen_bloom=args.seen_bloom,
         seen_sigs_df=(spark.read.parquet(args.seen_sigs)
                       if args.seen_sigs else None),
         write_sigs=args.write_sigs,
