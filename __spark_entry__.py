@@ -780,6 +780,109 @@ def _node_clf_oracle(n_iter=_NODE_CLF_ITER):
     """
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_K = 100
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023)
+    under the exact gate: target = the doc_id %% 3 == 0 slice (the
+    same 'clean slice' convention as lm_perplexity), raw = the whole
+    documents table, md5-portable hashed unigram+bigram buckets.
+    Outputs every doc's log importance weight, its deterministic
+    Gumbel-perturbed key, and whether Gumbel-top-k selected it."""
+    from sift_spark.operators.dsir import (
+        dsir_log_weights,
+        gumbel_key_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 3 == 0)
+    weights = dsir_log_weights(
+        docs, target, n_buckets=_DSIR_BUCKETS, portable_hash=True
+    )
+    keyed = weights.select(
+        "doc_id",
+        F.col("log_weight"),
+        (F.col("log_weight") + gumbel_key_col("doc_id", seed=0))
+        .alias("_key"),
+    )
+    chosen = keyed.orderBy(F.desc("_key"), F.col("doc_id")).limit(
+        _DSIR_K
+    ).select("doc_id", F.lit(1).alias("selected"))
+    return keyed.join(chosen, "doc_id", "left").select(
+        "doc_id",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("_key", 6).alias("gumbel_key"),
+        F.coalesce(F.col("selected"), F.lit(0)).alias("selected"),
+    )
+
+
+def _dsir_oracle():
+    b = _DSIR_BUCKETS
+    gumbel = (
+        "-ln(-ln(((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || "
+        "':g0'), 1, 8))::BIGINT) + 1.0) / 4294967297.0))"
+    )
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text),
+                               '[^a-z'']+'), w -> w <> '') AS toks
+            FROM documents
+        ),
+        grams AS MATERIALIZED (
+            SELECT doc_id, u.w AS gram FROM toks, unnest(toks) AS u(w)
+            UNION ALL
+            SELECT doc_id, toks[g.i] || ' ' || toks[g.i + 1] AS gram
+            FROM toks,
+                 unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        ),
+        feat AS MATERIALIZED (
+            SELECT doc_id,
+                   ('0x' || substr(md5(gram), 1, 8))::BIGINT % {b}
+                       AS bucket
+            FROM grams
+        ),
+        tgt AS (SELECT bucket, count(*) AS cnt FROM feat
+                WHERE doc_id % 3 = 0 GROUP BY bucket),
+        raw AS (SELECT bucket, count(*) AS cnt FROM feat
+                GROUP BY bucket),
+        tt AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS total
+               FROM tgt),
+        rt AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS total
+               FROM raw),
+        delta AS (
+            SELECT r.range AS bucket,
+                   ln((coalesce(t.cnt, 0) + 1) / (tt.total + {b}))
+                 - ln((coalesce(w.cnt, 0) + 1) / (rt.total + {b}))
+                       AS d
+            FROM range({b}) r
+            LEFT JOIN tgt t ON t.bucket = r.range
+            LEFT JOIN raw w ON w.bucket = r.range, tt, rt
+        ),
+        lw AS (
+            SELECT f.doc_id, sum(d.d) AS logw
+            FROM feat f JOIN delta d ON d.bucket = f.bucket
+            GROUP BY f.doc_id
+        ),
+        keyed AS MATERIALIZED (
+            SELECT d.doc_id,
+                   coalesce(lw.logw, 0.0) AS log_weight,
+                   coalesce(lw.logw, 0.0) + {gumbel} AS gkey
+            FROM documents d LEFT JOIN lw ON lw.doc_id = d.doc_id
+        ),
+        sel AS (SELECT doc_id FROM keyed
+                ORDER BY gkey DESC, doc_id LIMIT {_DSIR_K})
+        SELECT k.doc_id,
+               round(k.log_weight, 6) AS log_weight,
+               round(k.gkey, 6) AS gumbel_key,
+               CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END
+                   AS selected
+        FROM keyed k LEFT JOIN sel s ON s.doc_id = k.doc_id
+    """
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup, BOTH variants in one row (folded
     round 7 to free a gate slot for minhash_incremental): mode='lsh'
@@ -1492,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "ann_topk": _q_ann_topk,
         "node_classifier": _q_node_classifier,
+        "dsir_select": _q_dsir_select,
         "embedding_neardup": _q_embedding_neardup,
         "minhash_incremental": _q_minhash_incremental,
         # text analysis
@@ -2605,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         # brute force -- hash-checks the assign/probe/scan plumbing) +
         # the multiprobe LSH path, one method-labelled row each
         "node_classifier": _node_clf_oracle(),
+        "dsir_select": _dsir_oracle(),
         "ann_topk": f"""
             SELECT 'brute' AS method, * FROM ({_ANN_BRUTE_SQL})
             UNION ALL

@@ -148,7 +148,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      seen_bloom=False,
                      seen_sigs_df=None, write_sigs=False,
                      sig_jaccard=0.5,
-                     lm_model=None, max_ppl=0.0):
+                     lm_model=None, max_ppl=0.0,
+                     dsir_target_df=None, dsir_k=0, dsir_seed=0):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
     (one 16-byte-hash shuffle) -> optional benchmark decontamination
@@ -322,6 +323,24 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             remove_contaminated(curated, benchmark_df, n=ngram),
             "after_decontam",
         )
+    if dsir_target_df is not None and not dsir_k:
+        raise ValueError(
+            "dsir_target given but dsir_k is 0/unset -- pass dsir_k "
+            "(the resample size) to enable the selection"
+        )
+    if dsir_target_df is not None and dsir_k:
+        # DSIR importance resampling (operators/dsir.py, Xie et al.
+        # 2023): the LAST selection stage -- Gumbel-top-k toward the
+        # target domain's hashed-ngram distribution, from the cleaned
+        # deduped pool (the paper's setting: q is fit on the pool
+        # being selected from)
+        from .operators.dsir import dsir_resample
+
+        curated = observed(
+            dsir_resample(curated, dsir_target_df, k=dsir_k,
+                          seed=dsir_seed),
+            "after_dsir",
+        )
     curated.write.mode("overwrite").parquet(output_dir)
     out = spark.read.parquet(output_dir)
     if write_hashes:
@@ -478,6 +497,13 @@ def curate_main(argv=None):
     parser.add_argument("--max-ppl", type=float, default=0.0,
                         help="drop documents whose LM perplexity "
                              "exceeds this (0 = gate off)")
+    parser.add_argument("--dsir-target", default=None,
+                        help="target-domain docs parquet: DSIR "
+                             "importance resampling (Xie et al. 2023) "
+                             "as the final selection stage")
+    parser.add_argument("--dsir-k", type=int, default=0,
+                        help="number of documents Gumbel-top-k keeps")
+    parser.add_argument("--dsir-seed", type=int, default=0)
     parser.add_argument("--redact-pii", action="store_true")
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--benchmark", default=None,
@@ -556,6 +582,10 @@ def curate_main(argv=None):
         min_quality=args.min_quality,
         lm_model=args.lm_model,
         max_ppl=args.max_ppl,
+        dsir_target_df=(spark.read.parquet(args.dsir_target)
+                        if args.dsir_target else None),
+        dsir_k=args.dsir_k,
+        dsir_seed=args.dsir_seed,
         redact=args.redact_pii,
         dedup=not args.no_dedup,
         benchmark_df=(spark.read.parquet(args.benchmark)
@@ -794,6 +824,11 @@ def crawl_curate_main(argv=None):
                         help="saved n-gram LM for the perplexity gate "
                              "(see curate --lm-model)")
     parser.add_argument("--max-ppl", type=float, default=0.0)
+    parser.add_argument("--dsir-target", default=None,
+                        help="target-domain docs parquet for DSIR "
+                             "importance resampling (see curate)")
+    parser.add_argument("--dsir-k", type=int, default=0)
+    parser.add_argument("--dsir-seed", type=int, default=0)
     parser.add_argument("--redact-pii", action="store_true")
     parser.add_argument("--no-dedup", action="store_true")
     parser.add_argument("--benchmark", default=None,
@@ -848,6 +883,10 @@ def crawl_curate_main(argv=None):
         min_quality=args.min_quality,
         lm_model=args.lm_model,
         max_ppl=args.max_ppl,
+        dsir_target_df=(spark.read.parquet(args.dsir_target)
+                        if args.dsir_target else None),
+        dsir_k=args.dsir_k,
+        dsir_seed=args.dsir_seed,
         redact=args.redact_pii,
         dedup=not args.no_dedup,
         benchmark_df=(spark.read.parquet(args.benchmark)

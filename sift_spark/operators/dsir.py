@@ -1,0 +1,161 @@
+"""DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023).
+
+The other canonical model-based data-selection method next to CCNet
+perplexity filtering (operators/lm.py): instead of scoring fluency
+against one clean LM, DSIR estimates how much each raw document looks
+like the TARGET distribution relative to the RAW distribution and
+resamples proportionally, matching the selected corpus to the target
+domain in hashed n-gram feature space.
+
+Method (paper's hashed n-gram variant, their recommended instantiation):
+ * features: unigrams + bigrams of lowercased letter-run tokens,
+   hashed into `n_buckets` buckets (their 10k-bucket bag-of-ngrams);
+ * two multinomial bucket distributions are fit by counting -- p from
+   the target corpus, q from the raw corpus -- with add-1 smoothing;
+ * a document's log importance weight is
+   log w(x) = sum_f c_f(x) * (log p_f - log q_f);
+ * selection is Gumbel-top-k over log w + g_i (importance resampling
+   WITHOUT replacement) -- here with DETERMINISTIC per-doc Gumbel
+   noise g_i = -ln(-ln(u_i)) from the md5 hash of (doc_id, seed), so
+   runs are reproducible across partitionings, engines and reruns
+   (the same key-hash discipline as operators/sampling.py).
+
+Spark shape: each distribution fit is one explode + groupBy(bucket)
+whose output is `n_buckets` rows; the per-doc score is one explode +
+ONE BROADCAST JOIN against the (bucket, log p - log q) delta table +
+groupBy(doc) log-sum; selection is a TakeOrdered top-k. Nothing here
+shuffles more than gram rows once -- the same plan family as the
+oracle-green lm_perplexity scorer.
+
+portable_hash=True swaps xxhash64 bucketing for the md5-prefix twin so
+a SQL oracle reproduces every value (driver-gate row `dsir_select`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .lm import _order_grams, lm_tokens_col
+
+DEFAULT_BUCKETS = 1024
+
+
+def _bucket_col(gram, n_buckets, portable_hash):
+    if portable_hash:
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(gram)
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def hashed_ngram_buckets(docs_df, n_buckets=DEFAULT_BUCKETS,
+                         id_col="doc_id", text_col="text",
+                         portable_hash=False):
+    """(id, bucket) -- ONE ROW PER GRAM OCCURRENCE (multiset), unigrams
+    + bigrams hashed into buckets. Narrow: explode only."""
+    toks = lm_tokens_col(F.col(text_col))
+    grams = F.concat(_order_grams(toks, 1), _order_grams(toks, 2))
+    return docs_df.select(
+        F.col(id_col), F.explode(grams).alias("_gram")
+    ).select(
+        F.col(id_col),
+        _bucket_col(F.col("_gram"), n_buckets, portable_hash)
+        .alias("bucket"),
+    )
+
+
+def fit_bucket_log_probs(docs_df, n_buckets=DEFAULT_BUCKETS,
+                         id_col="doc_id", text_col="text",
+                         portable_hash=False):
+    """(bucket, logp) over ALL buckets: add-1-smoothed multinomial
+    ln((cnt_b + 1) / (total + n_buckets)). One small aggregation."""
+    spark = docs_df.sparkSession
+    counts = (
+        hashed_ngram_buckets(
+            docs_df, n_buckets, id_col, text_col, portable_hash
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    full = spark.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    ).join(counts, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    total = full.agg(F.sum("cnt")).first()[0] or 0
+    denom = float(total + n_buckets)
+    return full.select(
+        "bucket",
+        F.log((F.col("cnt") + F.lit(1)) / F.lit(denom)).alias("logp"),
+    )
+
+
+def dsir_log_weights(docs_df, target_df, n_buckets=DEFAULT_BUCKETS,
+                     id_col="doc_id", text_col="text",
+                     portable_hash=False, raw_df=None):
+    """(id, log_weight): per-doc log importance weight of `docs_df`
+    toward `target_df`'s distribution. `raw_df` defaults to docs_df
+    itself (the paper's setting: q is fit on the raw pool being
+    selected from). Docs with zero grams get weight 0 (no evidence)."""
+    raw_df = docs_df if raw_df is None else raw_df
+    p = fit_bucket_log_probs(
+        target_df, n_buckets, id_col, text_col, portable_hash
+    ).select("bucket", F.col("logp").alias("_lp"))
+    q = fit_bucket_log_probs(
+        raw_df, n_buckets, id_col, text_col, portable_hash
+    ).select("bucket", F.col("logp").alias("_lq"))
+    delta = p.join(q, "bucket").select(
+        "bucket", (F.col("_lp") - F.col("_lq")).alias("_delta")
+    )
+    sums = (
+        hashed_ngram_buckets(
+            docs_df, n_buckets, id_col, text_col, portable_hash
+        )
+        .join(F.broadcast(delta), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_delta").alias("log_weight"))
+    )
+    return docs_df.select(id_col).join(sums, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+    )
+
+
+_U32 = float((1 << 32) + 1)
+
+
+def gumbel_key_col(id_col, seed=0):
+    """Deterministic per-doc Gumbel noise -ln(-ln(u)), u in (0,1) from
+    the md5 of (id ':' seed) -- reproducible across partitionings and
+    engines (same construction as sampling.sample_bucket_col)."""
+    digest = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":g{seed}"))
+    )
+    bucket = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+    u = (bucket + F.lit(1.0)) / F.lit(_U32)
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(docs_df, target_df, k, n_buckets=DEFAULT_BUCKETS,
+                  id_col="doc_id", text_col="text", seed=0,
+                  portable_hash=False, raw_df=None):
+    """Gumbel-top-k importance resampling: keep the k documents with
+    the largest log_weight + Gumbel(id, seed) -- an exact sample
+    without replacement proportional to the importance weights
+    (Vieira 2014's Gumbel-max trick, as used by the DSIR paper).
+    Returns docs_df rows (all columns) for the selected ids."""
+    weights = dsir_log_weights(
+        docs_df, target_df, n_buckets, id_col, text_col,
+        portable_hash, raw_df,
+    )
+    keyed = weights.select(
+        id_col,
+        (F.col("log_weight") + gumbel_key_col(id_col, seed))
+        .alias("_key"),
+    )
+    chosen = keyed.orderBy(
+        F.desc("_key"), F.col(id_col)
+    ).limit(k).select(id_col)
+    return docs_df.join(chosen, id_col, "left_semi")
