@@ -117,6 +117,16 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.columns) > 0
 
 
+def test_rows_only_verification_mapping_in_sync():
+    """Every rows-only row must name its stand-in verification tier
+    (VERDICT r6 #7), and the mapping must not drift from the registry."""
+    rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    assert rows_only == set(entry_mod.ROWS_ONLY_VERIFICATION), (
+        "update ROWS_ONLY_VERIFICATION when adding/removing a "
+        "rows-only query"
+    )
+
+
 def test_registry_fits_driver_gate_cap():
     """The round-3 driver gate silently recorded only 50 of 51
     registered queries; the registry was consolidated to fit. This
