@@ -70,22 +70,25 @@ def fit_bucket_log_probs(docs_df, n_buckets=DEFAULT_BUCKETS,
                          id_col="doc_id", text_col="text",
                          portable_hash=False):
     """(bucket, logp) over ALL buckets: add-1-smoothed multinomial
-    ln((cnt_b + 1) / (total + n_buckets)). One small aggregation."""
+    ln((cnt_b + 1) / (total + n_buckets)). ONE corpus pass (explode +
+    map-side-combined groupBy); the <= n_buckets count rows come back
+    to the driver, which rebuilds the dense integer table -- exact
+    ints, so no float-parity risk -- and leaves the ln to the engine."""
     spark = docs_df.sparkSession
-    counts = (
-        hashed_ngram_buckets(
+    counts = {
+        r["bucket"]: r["cnt"]
+        for r in hashed_ngram_buckets(
             docs_df, n_buckets, id_col, text_col, portable_hash
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    denom = float(sum(counts.values()) + n_buckets)
+    full = spark.createDataFrame(
+        [(b, counts.get(b, 0)) for b in range(n_buckets)],
+        "bucket long, cnt long",
     )
-    full = spark.range(n_buckets).select(
-        F.col("id").alias("bucket")
-    ).join(counts, "bucket", "left").select(
-        "bucket", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
-    )
-    total = full.agg(F.sum("cnt")).first()[0] or 0
-    denom = float(total + n_buckets)
     return full.select(
         "bucket",
         F.log((F.col("cnt") + F.lit(1)) / F.lit(denom)).alias("logp"),
