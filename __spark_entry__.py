@@ -939,10 +939,22 @@ def _q_embedding_neardup(spark, sf_dir):
         embedding_near_duplicates,
     )
 
+    from sift_spark.operators.similarity import semdedup_pairs
+
     aug = _augmented_embeddings(spark, sf_dir)
     lsh = embedding_near_duplicates(
         aug, min_cosine=0.999, dim=64
     ).withColumn("mode", F.lit("lsh"))
+    # SemDeDup (Abbas et al. 2023) in its degenerate one-cluster form:
+    # the within-cluster join becomes the exact all-pairs scan, so the
+    # exact oracle hash-checks the k-means assign -> cluster equi-join
+    # -> cosine verify plumbing (same trick as the probe-all IVF row);
+    # pruned multi-cluster recall is unit-tested
+    sem = semdedup_pairs(
+        aug, n_clusters=1, min_cosine=0.999
+    ).select(
+        F.lit("semdedup").alias("mode"), "id_a", "id_b", "cosine"
+    )
 
     emb = aug.select(F.col("vec_id"), F.col("embedding").alias("v"))
     a = emb.alias("a")
@@ -959,8 +971,9 @@ def _q_embedding_neardup(spark, sf_dir):
         .filter(F.col("cosine") >= 0.999)
         .withColumn("mode", F.lit("exact"))
     )
-    return lsh.unionByName(exact).select("mode", "id_a", "id_b",
-                                         "cosine")
+    return lsh.unionByName(exact).unionByName(sem).select(
+        "mode", "id_a", "id_b", "cosine"
+    )
 
 
 def _q_minhash_incremental(spark, sf_dir):
@@ -2810,6 +2823,18 @@ def oracle_sql() -> dict[str, str]:
                 WHERE round(list_cosine_similarity(a.v, b.v), 6)
                       >= 0.999
             ) r
+            UNION ALL
+            -- degenerate one-cluster SemDeDup == the exact all-pairs
+            -- scan (hash-checks the cluster-join plumbing)
+            SELECT 'semdedup' AS mode, s.* FROM (
+                WITH aug AS ({_AUG_EMBEDDINGS_SQL})
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(list_cosine_similarity(a.v, b.v), 6)
+                           AS cosine
+                FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                      >= 0.999
+            ) s
         """,
         "minhash_incremental": _MINHASH_INCR_SQL,
         "lm_perplexity": _LM_PPL_SQL,

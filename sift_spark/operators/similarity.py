@@ -237,6 +237,70 @@ def ivf_cosine_topk(emb_df, query_vec, k=10, n_clusters=16, nprobe=4,
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def semdedup_pairs(emb_df, n_clusters=16, min_cosine=0.95, seed=42,
+                   id_col="vec_id", vec_col="embedding"):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): near-duplicate
+    pairs found WITHIN k-means clusters of the embedding space -- the
+    clustering bounds the pairwise work to intra-cluster comparisons
+    (the paper's trick for running semantic dedup at web scale, vs the
+    hyperplane-LSH bucketing of :func:`embedding_near_duplicates`;
+    k-means adapts to the data's density where fixed hyperplanes do
+    not).
+
+    Plan: one seeded k-means fit (sample the fit corpus at scale, as
+    ivf_build documents) + narrow assignment, then a self equi-join ON
+    THE CLUSTER ID with exact cosine verify. Returns (id_a, id_b,
+    cluster, cosine) pairs with id_a < id_b.
+
+    Degenerate n_clusters=1 makes the within-cluster join the exact
+    all-pairs scan, which is how the driver gate hash-checks the
+    cluster equi-join -> verify plumbing (the same trick as the
+    probe-all IVF row; pyspark.ml KMeans requires k > 1 and there is
+    nothing to fit for one cluster, so k=1 assigns directly -- the
+    k-means fit itself is exercised by the IVF gate row and the
+    multi-cluster units); pruned-recall behavior is unit-tested."""
+    if n_clusters == 1:
+        assigned = emb_df.withColumn("cluster", F.lit(0))
+    else:
+        assigned, _ = ivf_build(
+            emb_df, n_clusters, seed, id_col, vec_col
+        )
+    vec = F.col(vec_col).cast("array<double>")
+    sides = assigned.select(
+        F.col(id_col), vec.alias("v"), F.col("cluster")
+    )
+    a = sides.alias("a")
+    b = sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def semdedup(emb_df, n_clusters=16, min_cosine=0.95, seed=42,
+             id_col="vec_id", vec_col="embedding"):
+    """Semantic dedup: drop every vector that has a SMALLER-id
+    near-neighbor in its cluster (the min-id keeper convention shared
+    with dedup_exact) -- one representative survives per
+    near-duplicate chain. Returns the kept rows of emb_df."""
+    drops = semdedup_pairs(
+        emb_df, n_clusters, min_cosine, seed, id_col, vec_col
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return emb_df.join(drops, id_col, "left_anti")
+
+
 def embedding_near_duplicates(emb_df, min_cosine=0.95, n_planes=10, seed=42,
                               id_col="vec_id", vec_col="embedding",
                               dim=None):

@@ -161,6 +161,64 @@ def test_embedding_near_duplicates(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_semdedup(spark):
+    """SemDeDup (Abbas et al. 2023): k-means-clustered semantic dedup.
+    Planted near-dup pairs are caught when they share a cluster; the
+    min-id keeper leaves one representative per chain; degenerate
+    n_clusters=1 equals the exact all-pairs scan (the gate-row form)."""
+    from sift_spark.operators.similarity import (
+        semdedup,
+        semdedup_pairs,
+    )
+
+    # two well-separated clusters, each with a planted near-dup
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9995, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.9995, 0.01]),   # near-dup of 3
+        (5, [0.5, 0.5, 0.5, 0.5]),       # lonely
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in semdedup_pairs(df, n_clusters=2,
+                                     min_cosine=0.99).collect()}
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+    kept = {r["vec_id"] for r in semdedup(
+        df, n_clusters=2, min_cosine=0.99).collect()}
+    assert kept == {1, 3, 5}  # min-id keeper per near-dup chain
+
+    # degenerate one-cluster form == exact all-pairs (the same identity
+    # the driver-gate row relies on)
+    sem1 = {(r["id_a"], r["id_b"], r["cosine"]) for r in semdedup_pairs(
+        df, n_clusters=1, min_cosine=0.99).collect()}
+    a = df.alias("a")
+    b = df.alias("b")
+    from sift_spark.operators.similarity import cosine_col
+
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine_col(
+                    F.col("a.embedding").cast("array<double>"),
+                    F.col("b.embedding").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+        .collect()
+    }
+    assert sem1 == brute
+
+
 # ---- textstats --------------------------------------------------------------------
 
 
