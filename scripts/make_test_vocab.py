@@ -58,9 +58,16 @@ def train(sample, n_merges):
                 counts[(a, b)] += 1
         if not counts:
             break
-        # max by (count, then REVERSED byte order) -> deterministic ties
+        # max by (count, REVERSED merged bytes, REVERSED left bytes):
+        # a TOTAL order -- two splits of the same merged bytes (e.g.
+        # a+bc vs ab+c) would otherwise tie and fall to dict order
         (left, right), freq = max(
-            counts.items(), key=lambda kv: (kv[1], [-x for x in kv[0][0] + kv[0][1]])
+            counts.items(),
+            key=lambda kv: (
+                kv[1],
+                [-x for x in kv[0][0] + kv[0][1]],
+                [-x for x in kv[0][0]],
+            ),
         )
         if freq < 2:
             break

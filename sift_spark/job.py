@@ -328,20 +328,27 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             "dsir_target given but dsir_k is 0/unset -- pass dsir_k "
             "(the resample size) to enable the selection"
         )
+    dsir_persisted = None
     if dsir_target_df is not None and dsir_k:
         # DSIR importance resampling (operators/dsir.py, Xie et al.
         # 2023): the LAST selection stage -- Gumbel-top-k toward the
         # target domain's hashed-ngram distribution, from the cleaned
         # deduped pool (the paper's setting: q is fit on the pool
-        # being selected from)
+        # being selected from). The resampler scans the pool several
+        # times (fit q, per-doc bucket sums, the final keep-join);
+        # persist it so the whole upstream extraction+curation lineage
+        # evaluates once, not once per pass.
         from .operators.dsir import dsir_resample
 
+        dsir_persisted = curated.persist()
         curated = observed(
-            dsir_resample(curated, dsir_target_df, k=dsir_k,
+            dsir_resample(dsir_persisted, dsir_target_df, k=dsir_k,
                           seed=dsir_seed),
             "after_dsir",
         )
     curated.write.mode("overwrite").parquet(output_dir)
+    if dsir_persisted is not None:
+        dsir_persisted.unpersist()
     out = spark.read.parquet(output_dir)
     if write_hashes:
         # snapshot sink for the NEXT incremental run's seen_df: the

@@ -104,15 +104,19 @@ _PAIR_SCHEMA = T.StructType(
 )
 
 # reference tie-break key (scripts/make_test_vocab.py): max by count,
-# then by the NEGATED byte sequence of the merged token -- i.e. the
+# then by the NEGATED byte sequence of the merged token (the
 # lexicographically smallest merged bytes, longer preferred over its
-# own prefix
+# own prefix), then by the negated LEFT bytes -- the left component
+# makes the order TOTAL: two splits of the same merged bytes (a+bc vs
+# ab+c) tie on the first two components, and `max` over an unordered
+# collect() would otherwise pick whichever arrived first
 _TIE_HEAD = 4096
 
 
 def _tie_key(row):
-    merged = bytes(row["left"]) + bytes(row["right"])
-    return (row["cnt"], [-x for x in merged])
+    left = bytes(row["left"])
+    merged = left + bytes(row["right"])
+    return (row["cnt"], [-x for x in merged], [-x for x in left])
 
 
 def train_bpe(docs_df, n_merges, text_col="text", min_freq=2):

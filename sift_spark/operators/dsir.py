@@ -50,25 +50,30 @@ def _bucket_col(gram, n_buckets, portable_hash):
     return F.pmod(h, F.lit(n_buckets))
 
 
+def _gram_col(text_col):
+    toks = lm_tokens_col(F.col(text_col))
+    return F.concat(_order_grams(toks, 1), _order_grams(toks, 2))
+
+
 def hashed_ngram_buckets(docs_df, n_buckets=DEFAULT_BUCKETS,
                          id_col="doc_id", text_col="text",
                          portable_hash=False):
     """(id, bucket) -- ONE ROW PER GRAM OCCURRENCE (multiset), unigrams
-    + bigrams hashed into buckets. Narrow: explode only."""
-    toks = lm_tokens_col(F.col(text_col))
-    grams = F.concat(_order_grams(toks, 1), _order_grams(toks, 2))
+    + bigrams hashed into buckets. Narrow: explode only. Pass
+    id_col=None for an id-less (bucket-only) frame -- distribution
+    fits never need ids, so a text-only target corpus works."""
+    keys = [] if id_col is None else [F.col(id_col)]
     return docs_df.select(
-        F.col(id_col), F.explode(grams).alias("_gram")
+        *keys, F.explode(_gram_col(text_col)).alias("_gram")
     ).select(
-        F.col(id_col),
+        *keys,
         _bucket_col(F.col("_gram"), n_buckets, portable_hash)
         .alias("bucket"),
     )
 
 
 def fit_bucket_log_probs(docs_df, n_buckets=DEFAULT_BUCKETS,
-                         id_col="doc_id", text_col="text",
-                         portable_hash=False):
+                         text_col="text", portable_hash=False):
     """(bucket, logp) over ALL buckets: add-1-smoothed multinomial
     ln((cnt_b + 1) / (total + n_buckets)). ONE corpus pass (explode +
     map-side-combined groupBy); the <= n_buckets count rows come back
@@ -78,7 +83,7 @@ def fit_bucket_log_probs(docs_df, n_buckets=DEFAULT_BUCKETS,
     counts = {
         r["bucket"]: r["cnt"]
         for r in hashed_ngram_buckets(
-            docs_df, n_buckets, id_col, text_col, portable_hash
+            docs_df, n_buckets, None, text_col, portable_hash
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
@@ -101,13 +106,15 @@ def dsir_log_weights(docs_df, target_df, n_buckets=DEFAULT_BUCKETS,
     """(id, log_weight): per-doc log importance weight of `docs_df`
     toward `target_df`'s distribution. `raw_df` defaults to docs_df
     itself (the paper's setting: q is fit on the raw pool being
-    selected from). Docs with zero grams get weight 0 (no evidence)."""
+    selected from). The target (and raw) corpora only need `text_col`
+    -- distribution fits never touch ids. Docs with zero grams get
+    weight 0 (no evidence)."""
     raw_df = docs_df if raw_df is None else raw_df
     p = fit_bucket_log_probs(
-        target_df, n_buckets, id_col, text_col, portable_hash
+        target_df, n_buckets, text_col, portable_hash
     ).select("bucket", F.col("logp").alias("_lp"))
     q = fit_bucket_log_probs(
-        raw_df, n_buckets, id_col, text_col, portable_hash
+        raw_df, n_buckets, text_col, portable_hash
     ).select("bucket", F.col("logp").alias("_lq"))
     delta = p.join(q, "bucket").select(
         "bucket", (F.col("_lp") - F.col("_lq")).alias("_delta")
@@ -131,13 +138,13 @@ _U32 = float((1 << 32) + 1)
 
 def gumbel_key_col(id_col, seed=0):
     """Deterministic per-doc Gumbel noise -ln(-ln(u)), u in (0,1) from
-    the md5 of (id ':' seed) -- reproducible across partitionings and
-    engines (same construction as sampling.sample_bucket_col)."""
-    digest = F.md5(
-        F.concat(F.col(id_col).cast("string"), F.lit(f":g{seed}"))
-    )
-    bucket = F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
-    u = (bucket + F.lit(1.0)) / F.lit(_U32)
+    the md5 of (id ':g<seed>') -- reproducible across partitionings and
+    engines (sampling.sample_bucket_col IS the shared md5-prefix
+    construction; the 'g' prefix namespaces DSIR draws away from
+    hash_sample draws on the same ids)."""
+    from .sampling import sample_bucket_col
+
+    u = (sample_bucket_col(id_col, f"g{seed}") + F.lit(1.0)) / F.lit(_U32)
     return -F.log(-F.log(u))
 
 
