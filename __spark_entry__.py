@@ -827,18 +827,31 @@ def _node_clf_oracle(n_iter=_NODE_CLF_ITER):
 
 _DSIR_BUCKETS = 1024
 _DSIR_K = 100
+_CLF_ITER = 6
 
 
 def _q_dsir_select(spark, sf_dir):
-    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023)
-    under the exact gate: target = the doc_id %% 3 == 0 slice (the
-    same 'clean slice' convention as lm_perplexity), raw = the whole
-    documents table, md5-portable hashed unigram+bigram buckets.
-    Outputs every doc's log importance weight, its deterministic
-    Gumbel-perturbed key, and whether Gumbel-top-k selected it."""
+    """The model-based selection row, TWO methods folded at the same
+    doc grain (gate is at its 50-row cap): (a) DSIR importance
+    resampling (operators/dsir.py, Xie et al. 2023) -- target = the
+    doc_id %% 3 == 0 slice (the same 'clean slice' convention as
+    lm_perplexity), raw = the whole documents table, md5-portable
+    hashed unigram+bigram buckets; outputs every doc's log importance
+    weight, its deterministic Gumbel-perturbed key, and whether
+    Gumbel-top-k selected it. (b) the fastText-style quality
+    classifier (operators/textclf.py, Joulin et al. 2016 / the GPT-3
+    Appendix-A quality filter) trained ON THE SAME feature map and the
+    same target slice as labels -- 6 fixed-point GD steps whose
+    weights AND every doc's score the oracle re-derives bit-exactly
+    (the operators/nodeclf.py discipline, here with a per-bucket
+    weight TABLE per unrolled step instead of dense columns)."""
     from sift_spark.operators.dsir import (
         dsir_log_weights,
         gumbel_key_col,
+    )
+    from sift_spark.operators.textclf import (
+        score_text_classifier,
+        train_text_classifier,
     )
 
     docs = _docs(spark, sf_dir)
@@ -855,11 +868,27 @@ def _q_dsir_select(spark, sf_dir):
     chosen = keyed.orderBy(F.desc("_key"), F.col("doc_id")).limit(
         _DSIR_K
     ).select("doc_id", F.lit(1).alias("selected"))
-    return keyed.join(chosen, "doc_id", "left").select(
-        "doc_id",
-        F.round("log_weight", 6).alias("log_weight"),
-        F.round("_key", 6).alias("gumbel_key"),
-        F.coalesce(F.col("selected"), F.lit(0)).alias("selected"),
+    labelled = docs.withColumn(
+        "label", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    model = train_text_classifier(
+        labelled, n_buckets=_DSIR_BUCKETS, n_iter=_CLF_ITER,
+        link="rational", portable_hash=True,
+    )
+    clf = score_text_classifier(labelled, model).select(
+        "doc_id", "clf_score"
+    )
+    return (
+        keyed.join(chosen, "doc_id", "left")
+        .join(clf, "doc_id")
+        .select(
+            "doc_id",
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("_key", 6).alias("gumbel_key"),
+            F.coalesce(F.col("selected"), F.lit(0)).alias("selected"),
+            F.round("clf_score", 6).alias("clf_score"),
+            (F.col("clf_score") >= 0.5).cast("int").alias("clf_keep"),
+        )
     )
 
 
@@ -918,14 +947,101 @@ def _dsir_oracle():
             FROM documents d LEFT JOIN lw ON lw.doc_id = d.doc_id
         ),
         sel AS (SELECT doc_id FROM keyed
-                ORDER BY gkey DESC, doc_id LIMIT {_DSIR_K})
+                ORDER BY gkey DESC, doc_id LIMIT {_DSIR_K}),
+        {_clf_ctes(b, _CLF_ITER)}
         SELECT k.doc_id,
                round(k.log_weight, 6) AS log_weight,
                round(k.gkey, 6) AS gumbel_key,
                CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END
-                   AS selected
+                   AS selected,
+               round(c.score, 6) AS clf_score,
+               CASE WHEN c.score >= 0.5 THEN 1 ELSE 0 END AS clf_keep
         FROM keyed k LEFT JOIN sel s ON s.doc_id = k.doc_id
+        JOIN clfscore c ON c.doc_id = k.doc_id
     """
+
+
+def _clf_ctes(n_buckets, n_iter):
+    """Unrolled fixed-point sparse logistic regression as DuckDB CTEs
+    over the dsir oracle's `feat` table (doc_id, bucket -- one row per
+    gram occurrence): re-derives operators/textclf.train_text_classifier
+    bit-for-bit. Per step: a per-doc score aggregation (cz{k}), the
+    floor-quantised rational-sigmoid residual (cp{k}), the per-bucket
+    gradient (cg{k}) and the floor-quantised clamped weight-table /
+    intercept update (cw{k}/cb{k}) -- exactly the Spark trainer's two
+    aggregation jobs per step. All values live on power-of-two grids
+    (features 2^-10, weights/probabilities 2^-20), so every
+    intermediate is exactly representable and the sums are
+    order-independent in BOTH engines (see operators/nodeclf.py)."""
+    wq = "1048576.0"  # 2^20: the weight/probability grid
+    sig = "(0.5 + 0.5 * z / (1 + abs(z)))"
+    upd = (
+        "greatest(-16.0, least(16.0, {w} - "
+        f"floor(lr * {{g}} * {wq}) / {wq}))"
+    )
+    ctes = [
+        """cnd AS (SELECT doc_id, count(*) AS n FROM feat
+                   GROUP BY doc_id)""",
+        """ccb AS (SELECT doc_id, bucket, count(*) AS c FROM feat
+                   GROUP BY doc_id, bucket)""",
+        """cxf AS MATERIALIZED (
+            SELECT ccb.doc_id, ccb.bucket,
+                   floor(1024.0 * ccb.c / cnd.n) / 1024.0 AS x
+            FROM ccb JOIN cnd USING (doc_id)
+        )""",
+        """clab AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        )""",
+        """clflr AS (
+            SELECT 4.0 / pow(2.0, ceil(log2(CAST(count(*) AS DOUBLE))))
+                       AS lr
+            FROM clab
+        )""",
+        f"""cw0 AS MATERIALIZED (
+            SELECT r.range AS bucket, 0.0 AS w FROM range({n_buckets}) r
+        )""",
+        "cb0 AS (SELECT 0.0 AS b)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""cp{k} AS MATERIALIZED (
+            SELECT doc_id,
+                   floor({sig} * {wq}) / {wq} - y AS d
+            FROM (SELECT l.doc_id, l.y,
+                         coalesce(s.zs, 0.0) + cb{k - 1}.b AS z
+                  FROM clab l
+                  LEFT JOIN (SELECT f.doc_id, sum(w.w * f.x) AS zs
+                             FROM cxf f JOIN cw{k - 1} w USING (bucket)
+                             GROUP BY f.doc_id) s
+                    ON s.doc_id = l.doc_id, cb{k - 1})
+        )""")
+        ctes.append(f"""cg{k} AS (
+            SELECT f.bucket, sum(p.d * f.x) AS g
+            FROM cxf f JOIN cp{k} p USING (doc_id)
+            GROUP BY f.bucket
+        )""")
+        ctes.append(f"""cw{k} AS MATERIALIZED (
+            SELECT w.bucket,
+                   {upd.format(w='w.w', g='coalesce(g.g, 0.0)')} AS w
+            FROM cw{k - 1} w LEFT JOIN cg{k} g USING (bucket), clflr
+        )""")
+        ctes.append(f"""cb{k} AS (
+            SELECT {upd.format(w='b', g='gb')} AS b
+            FROM cb{k - 1},
+                 (SELECT coalesce(sum(d), 0.0) AS gb FROM cp{k}), clflr
+        )""")
+    ctes.append(f"""clfscore AS MATERIALIZED (
+            SELECT doc_id, {sig} AS score
+            FROM (SELECT l.doc_id,
+                         coalesce(s.zs, 0.0) + cb{n_iter}.b AS z
+                  FROM clab l
+                  LEFT JOIN (SELECT f.doc_id, sum(w.w * f.x) AS zs
+                             FROM cxf f JOIN cw{n_iter} w USING (bucket)
+                             GROUP BY f.doc_id) s
+                    ON s.doc_id = l.doc_id, cb{n_iter})
+        )""")
+    return ",\n        ".join(ctes)
 
 
 def _q_embedding_neardup(spark, sf_dir):

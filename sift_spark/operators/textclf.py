@@ -1,0 +1,344 @@
+"""Model-based quality classifier: fastText-style hashed n-gram
+logistic regression trained by pure DataFrame aggregations.
+
+The third canonical model-based data-selection family next to CCNet
+perplexity (operators/lm.py) and DSIR importance resampling
+(operators/dsir.py): a supervised linear classifier over hashed
+bag-of-ngram features, the shape of fastText (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification") as used for corpus
+quality filtering by GPT-3 (Brown et al. 2020, Appendix A: a classifier
+trained positive=curated/negative=raw crawl), LLaMA (Wikipedia-reference
+classifier) and DCLM (Li et al. 2024, whose fastText filter is the
+single highest-impact curation operator in their ablations).
+
+No reference counterpart (chriscorrea/sift has no corpus tier); this is
+the LLM-pipeline brief's model-based filtering family.
+
+Method:
+ * features: unigrams + bigrams of lowercased letter-run tokens hashed
+   into `n_buckets` buckets (the SAME feature map as DSIR --
+   operators/dsir.hashed_ngram_buckets), length-normalised counts
+   x_db = floor(2^10 * c_db / n_d) / 2^10 on the fixed-point grid;
+ * model: one weight per bucket + an intercept, sigmoid link;
+ * training: full-batch gradient descent where each step is ONE
+   aggregation job over a cached feature frame: a per-doc score
+   aggregation (join the broadcast weight table, groupBy doc) feeding
+   a per-bucket gradient aggregation (join the per-doc residual back
+   onto the gram rows, groupBy bucket), with the intercept gradient
+   folded in as a synthetic per-doc bucket=-1 feature with x=1.
+   The weight table (<= n_buckets rows,
+   a few MB at the fastText-scale 2^16 default) returns to the driver
+   each step -- bounded by n_buckets, never by corpus size, the same
+   driver-held-model discipline as operators/bpe.py and operators/lm.py.
+
+Spark shape at 100 TB: the feature frame is ONE explode + ONE shuffle
+(groupBy (doc, bucket) with the per-doc gram total carried through the
+explode -- no second pass for totals), cached across the fixed number
+of steps; the score join broadcasts the weight table; the gradient join
+shuffles gram rows against per-doc residuals on doc_id. Scoring a
+corpus with a trained model is one explode + one broadcast join +
+one groupBy.
+
+Bit-exactness (what makes the driver-gate oracle possible) reuses the
+operators/nodeclf.py fixed-point discipline wholesale: features on the
+2^-10 grid, weights/probabilities on the 2^-20 grid, floor-quantised
+updates, power-of-two learning rate, and the rational sigmoid link
+(only correctly-rounded IEEE ops) -- identical bits on every engine and
+partitioning. `link='logistic'` (default) uses the true exp() sigmoid
+for production.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from .dsir import _bucket_col, _gram_col
+from .nodeclf import (
+    FEATURE_BITS,
+    WEIGHT_BITS,
+    _LINKS,
+    _clamp,
+    power_of_two_lr,
+    quantize_col,
+)
+
+DEFAULT_BUCKETS = 1 << 16
+
+
+def doc_feature_table(docs_df, n_buckets=DEFAULT_BUCKETS,
+                      id_col="doc_id", text_col="text",
+                      portable_hash=False):
+    """(id, bucket, x): length-normalised hashed-ngram features on the
+    2^-FEATURE_BITS grid. ONE shuffle: the per-doc gram total is
+    size(grams) computed BEFORE the explode and carried through it, so
+    no second aggregation pass is needed. Docs with zero grams emit no
+    rows (their score is sigmoid(intercept) via the left join in
+    scoring/training)."""
+    scale = float(1 << FEATURE_BITS)
+    # the gram total must be computed BELOW the explode's Generate node:
+    # selecting size(grams) NEXT TO explode(grams) makes Catalyst
+    # re-evaluate the whole gram-construction expression per EXPLODED
+    # row (O(words^2) per doc -- measured 20x slower at sf0.01); two
+    # stacked selects pin size() to the per-doc projection, and the
+    # Generate passes `_n` through as a plain attribute
+    staged = docs_df.select(
+        F.col(id_col), _gram_col(text_col).alias("_grams")
+    ).select(
+        F.col(id_col), F.size("_grams").alias("_n"), F.col("_grams")
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.col("_n"),
+            F.explode("_grams").alias("_gram"),
+        )
+        .select(
+            F.col(id_col),
+            _bucket_col(F.col("_gram"), n_buckets, portable_hash)
+            .alias("bucket"),
+            F.col("_n"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("_cnt"), F.max("_n").alias("_n"))
+        .select(
+            F.col(id_col),
+            "bucket",
+            (F.floor(F.lit(scale) * F.col("_cnt") / F.col("_n"))
+             / F.lit(scale)).alias("x"),
+        )
+    )
+
+
+_INTERCEPT_BUCKET = -1  # synthetic per-doc intercept feature (x = 1)
+
+
+def _weights_df(spark, weights):
+    rows = [(int(b), float(w)) for b, w in weights.items() if w != 0.0]
+    if not rows:
+        # placeholder so the frame is non-empty; never matches a real
+        # bucket (nor the -1 intercept rows in the training frame)
+        rows = [(-(1 << 40), 0.0)]
+    return spark.createDataFrame(rows, "bucket long, w double")
+
+
+def _doc_scores(feats, labels_df, id_col, weights, intercept, link):
+    """(id, y?, p): current-model probability per labelled doc. LEFT
+    join from the label frame so zero-gram docs score
+    sigmoid(intercept) instead of disappearing."""
+    spark = feats.sparkSession
+    z = (
+        feats.join(F.broadcast(_weights_df(spark, weights)), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("x")).alias("_z"))
+    )
+    zfull = (
+        labels_df.join(z, id_col, "left")
+        .withColumn(
+            "_z",
+            F.coalesce(F.col("_z"), F.lit(0.0)) + F.lit(float(intercept)),
+        )
+    )
+    return zfull.withColumn(
+        "p", quantize_col(_LINKS[link](F.col("_z")), WEIGHT_BITS)
+    )
+
+
+def train_text_classifier(docs_df, label_col="label",
+                          n_buckets=DEFAULT_BUCKETS, n_iter=8,
+                          lr=None, link="logistic", id_col="doc_id",
+                          text_col="text", portable_hash=False):
+    """Fit the classifier on a labelled corpus (label in {0, 1}).
+
+    Returns `{"intercept": b, "weights": {bucket: w}, "n_buckets": B,
+    "lr": lr, "n_rows": n, "link": link, "portable_hash": bool}`.
+    Deterministic: same labelled multiset -> same bits, regardless of
+    partitioning or cluster size (see module docstring)."""
+    if link not in _LINKS:
+        raise ValueError(f"unknown link {link!r}")
+    labels = docs_df.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("__y")
+    ).persist()
+    # one synthetic bucket=-1 row per doc with x=1 folds the intercept
+    # gradient (sum of residuals) into the SAME per-bucket aggregation
+    # as the weight gradients -- ONE job per step instead of two
+    feats = doc_feature_table(
+        docs_df, n_buckets, id_col, text_col, portable_hash
+    ).unionByName(
+        labels.select(
+            F.col(id_col),
+            F.lit(_INTERCEPT_BUCKET).cast("long").alias("bucket"),
+            F.lit(1.0).alias("x"),
+        )
+    ).persist()
+    try:
+        n_rows = labels.count()
+        if lr is None:
+            lr = power_of_two_lr(n_rows)
+        wscale = float(1 << WEIGHT_BITS)
+        intercept, weights = 0.0, {}
+        for _ in range(n_iter):
+            scored = _doc_scores(
+                feats, labels, id_col, weights, intercept, link
+            ).select(
+                F.col(id_col), (F.col("p") - F.col("__y")).alias("_d")
+            )
+            grad = (
+                feats.join(scored, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("_d") * F.col("x")).alias("g"))
+                .collect()
+            )
+
+            def _step(g):
+                return math.floor(lr * g * wscale) / wscale
+
+            gb = 0.0
+            for r in grad:
+                if r["bucket"] == _INTERCEPT_BUCKET:
+                    gb = r["g"]
+                    continue
+                w = _clamp(weights.get(r["bucket"], 0.0) - _step(r["g"]))
+                if w:
+                    weights[r["bucket"]] = w
+                else:
+                    weights.pop(r["bucket"], None)
+            intercept = _clamp(intercept - _step(gb))
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return {
+        "intercept": intercept,
+        "weights": weights,
+        "n_buckets": n_buckets,
+        "lr": lr,
+        "n_rows": n_rows,
+        "link": link,
+        "portable_hash": portable_hash,
+    }
+
+
+def train_from_slices(pos_df, neg_df, text_col="text", **kw):
+    """Convenience wrapper for the GPT-3-style setup: positive =
+    curated/target slice, negative = raw pool sample. Ids are minted
+    fresh (ids only group grams within a doc; they never enter the
+    learned values, so synthetic ids keep training deterministic)."""
+    lab = lambda df, y: df.select(  # noqa: E731
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.lit(y).alias("label"),
+    )
+    # negate the negative slice's ids: monotonically_increasing_id is
+    # always >= 0, so the two ranges cannot collide (a fixed offset
+    # could -- the generator packs the partition id into the high bits)
+    both = lab(pos_df, 1).unionByName(
+        lab(neg_df, 0).withColumn("doc_id", -F.col("doc_id") - F.lit(1))
+    )
+    return train_text_classifier(both, "label", text_col="text", **kw)
+
+
+def score_text_classifier(docs_df, model, score_col="clf_score",
+                          id_col="doc_id", text_col="text"):
+    """docs_df + a probability column (higher = more target-like):
+    one explode + one BROADCAST join on bucket + one groupBy, then a
+    left join back onto the input (zero-gram docs score
+    sigmoid(intercept))."""
+    spark = docs_df.sparkSession
+    feats = doc_feature_table(
+        docs_df, model["n_buckets"], id_col, text_col,
+        model.get("portable_hash", False),
+    )
+    z = (
+        feats.join(
+            F.broadcast(_weights_df(spark, model["weights"])), "bucket"
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("x")).alias("_z"))
+    )
+    link = _LINKS[model.get("link", "logistic")]
+    return (
+        docs_df.join(z, id_col, "left")
+        .withColumn(
+            "_z",
+            F.coalesce(F.col("_z"), F.lit(0.0))
+            + F.lit(float(model["intercept"])),
+        )
+        .withColumn(score_col, link(F.col("_z")))
+        .drop("_z")
+    )
+
+
+def filter_by_classifier(docs_df, model, min_score,
+                         id_col="doc_id", text_col="text"):
+    """Keep docs the model scores >= min_score (the --min-clf-score
+    funnel stage)."""
+    return score_text_classifier(
+        docs_df, model, "_clf_score", id_col, text_col
+    ).filter(F.col("_clf_score") >= F.lit(float(min_score))).drop(
+        "_clf_score"
+    )
+
+
+_META_BUCKET = -1  # the intercept/meta row's bucket key
+
+
+def save_text_classifier(model, path):
+    """Persist as ONE parquet: (bucket, w) weight rows plus a bucket=-1
+    meta row carrying the intercept and the scoring parameters."""
+    import json
+
+    spark = _active_spark()
+    meta = json.dumps(
+        {
+            "n_buckets": model["n_buckets"],
+            "link": model.get("link", "logistic"),
+            "portable_hash": bool(model.get("portable_hash", False)),
+            "lr": model["lr"],
+            "n_rows": model["n_rows"],
+        }
+    )
+    rows = [
+        (int(b), float(w), None)
+        for b, w in sorted(model["weights"].items())
+    ]
+    rows.append((_META_BUCKET, float(model["intercept"]), meta))
+    spark.createDataFrame(
+        rows, "bucket long, w double, meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_text_classifier(path):
+    import json
+
+    spark = _active_spark()
+    rows = spark.read.parquet(path).collect()
+    meta_rows = [r for r in rows if r["bucket"] == _META_BUCKET]
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"classifier model at {path} has {len(meta_rows)} meta "
+            "rows; expected exactly one bucket=-1 row"
+        )
+    meta = json.loads(meta_rows[0]["meta"])
+    return {
+        "intercept": meta_rows[0]["w"],
+        "weights": {
+            r["bucket"]: r["w"]
+            for r in rows
+            if r["bucket"] != _META_BUCKET
+        },
+        "n_buckets": meta["n_buckets"],
+        "lr": meta["lr"],
+        "n_rows": meta["n_rows"],
+        "link": meta["link"],
+        "portable_hash": meta["portable_hash"],
+    }
+
+
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession")
+    return spark

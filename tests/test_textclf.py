@@ -1,0 +1,161 @@
+"""fastText-style hashed-ngram quality classifier (operators/textclf):
+separation on a planted fixture, partitioning-invariant bit-exactness,
+save/load round-trip, zero-gram docs, and the curation funnel stage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sift_spark.operators.textclf import (
+    doc_feature_table,
+    filter_by_classifier,
+    load_text_classifier,
+    save_text_classifier,
+    score_text_classifier,
+    train_from_slices,
+    train_text_classifier,
+)
+
+GOOD = [
+    "the committee published a detailed report on regional water "
+    "policy and the projected budget for the coming decade",
+    "researchers described a new method for measuring glacier flow "
+    "using satellite imagery collected over several seasons",
+    "the council approved funding for a public library renovation "
+    "after hearing testimony from residents and local historians",
+    "a study of migratory birds found that wetland restoration "
+    "improved nesting success across the entire river delta",
+]
+SPAM = [
+    "click here buy now cheap pills best prices click here win big",
+    "free money casino bonus click now winner winner jackpot claim",
+    "cheap watches buy buy buy discount offer click subscribe now",
+    "hot singles near you click now free trial limited offer act",
+]
+
+
+def _labelled(spark, reps=3):
+    rows = []
+    i = 0
+    for r in range(reps):
+        for t in GOOD:
+            rows.append((i, f"{t} part {r}", 1))
+            i += 1
+        for t in SPAM:
+            rows.append((i, f"{t} lot {r}", 0))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    )
+
+
+def test_classifier_separates_planted_fixture(spark):
+    docs = _labelled(spark)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=10)
+    scored = score_text_classifier(docs, model).select(
+        "label", "clf_score"
+    ).collect()
+    good = [r["clf_score"] for r in scored if r["label"] == 1]
+    spam = [r["clf_score"] for r in scored if r["label"] == 0]
+    assert min(good) > max(spam)
+    assert min(good) > 0.5 > max(spam)
+
+
+def test_bit_exact_across_partitionings(spark):
+    docs = _labelled(spark)
+    kw = dict(n_buckets=512, n_iter=6, link="rational")
+    m1 = train_text_classifier(docs.repartition(1), **kw)
+    m7 = train_text_classifier(docs.repartition(7), **kw)
+    assert m1["intercept"] == m7["intercept"]
+    assert m1["weights"] == m7["weights"]
+    s1 = {
+        r["doc_id"]: r["clf_score"]
+        for r in score_text_classifier(docs.repartition(3), m1)
+        .select("doc_id", "clf_score").collect()
+    }
+    s7 = {
+        r["doc_id"]: r["clf_score"]
+        for r in score_text_classifier(docs.repartition(5), m7)
+        .select("doc_id", "clf_score").collect()
+    }
+    assert s1 == s7  # identical bits, not just close
+
+
+def test_both_links_learn_the_separator(spark):
+    docs = _labelled(spark)
+    for link in ("rational", "logistic"):
+        model = train_text_classifier(
+            docs, n_buckets=512, n_iter=10, link=link
+        )
+        scored = score_text_classifier(docs, model).collect()
+        good = [r["clf_score"] for r in scored if r["label"] == 1]
+        spam = [r["clf_score"] for r in scored if r["label"] == 0]
+        assert min(good) > max(spam), link
+
+
+def test_train_from_slices(spark):
+    pos = spark.createDataFrame([(t,) for t in GOOD], "text string")
+    neg = spark.createDataFrame([(t,) for t in SPAM], "text string")
+    model = train_from_slices(pos, neg, n_buckets=512, n_iter=10)
+    docs = _labelled(spark, reps=1)
+    scored = score_text_classifier(docs, model).collect()
+    good = [r["clf_score"] for r in scored if r["label"] == 1]
+    spam = [r["clf_score"] for r in scored if r["label"] == 0]
+    assert min(good) > max(spam)
+
+
+def test_zero_gram_doc_scores_intercept(spark):
+    docs = _labelled(spark)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=4)
+    empty = spark.createDataFrame(
+        [(999, ""), (998, "   !!! 123 ")], "doc_id long, text string"
+    )
+    rows = score_text_classifier(empty, model).collect()
+    assert len(rows) == 2
+    import math
+
+    b = model["intercept"]
+    expect = 1.0 / (1.0 + math.exp(-b))
+    for r in rows:
+        assert r["clf_score"] == pytest.approx(expect, abs=1e-12)
+
+
+def test_save_load_round_trip(spark, tmp_path):
+    docs = _labelled(spark)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=6)
+    path = str(tmp_path / "clf_model")
+    save_text_classifier(model, path)
+    loaded = load_text_classifier(path)
+    assert loaded["intercept"] == model["intercept"]
+    assert loaded["weights"] == model["weights"]
+    assert loaded["n_buckets"] == model["n_buckets"]
+    assert loaded["link"] == model["link"]
+    s0 = score_text_classifier(docs, model).select("clf_score").collect()
+    s1 = score_text_classifier(docs, loaded).select("clf_score").collect()
+    assert [r[0] for r in s0] == [r[0] for r in s1]
+
+
+def test_filter_by_classifier(spark):
+    docs = _labelled(spark)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=10)
+    kept = filter_by_classifier(docs, model, 0.5)
+    assert sorted(r["label"] for r in kept.collect()) == [1] * 12
+    assert "clf_score" not in kept.columns  # helper column dropped
+
+
+def test_feature_table_one_shuffle_and_grid(spark):
+    docs = _labelled(spark, reps=1)
+    feats = doc_feature_table(docs, n_buckets=512)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # gram total carried, no 2nd agg
+    for r in feats.collect():
+        assert 0.0 <= r["x"] <= 1.0
+        assert (r["x"] * 1024.0) == int(r["x"] * 1024.0)  # on the grid
+
+
+def test_scoring_plan_broadcasts_weights(spark):
+    docs = _labelled(spark, reps=1)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=2)
+    scored = score_text_classifier(docs, model)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
