@@ -149,6 +149,7 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      seen_sigs_df=None, write_sigs=False,
                      sig_jaccard=0.5,
                      lm_model=None, max_ppl=0.0,
+                     clf_model=None, min_clf_score=0.0,
                      dsir_target_df=None, dsir_k=0, dsir_seed=0):
     """End-to-end corpus curation in ONE job: language + quality gates
     (narrow) -> optional PII redaction (narrow) -> exact-dup keeper
@@ -242,6 +243,27 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             filter_by_perplexity(curated, model, max_ppl,
                                  method="udf"),
             "after_ppl_gate",
+        )
+    if clf_model is not None and not min_clf_score:
+        raise ValueError(
+            "clf_model given but min_clf_score is 0/unset -- pass "
+            "min_clf_score (the keep threshold) to enable the gate"
+        )
+    if clf_model is not None and min_clf_score:
+        # MODEL-BASED quality gate, classifier family (fastText-style,
+        # operators/textclf.py -- the GPT-3/DCLM setup): keep documents
+        # the trained hashed-ngram classifier scores >= min_clf_score.
+        # One explode + one broadcast weight join + one groupBy.
+        from .operators.textclf import (
+            filter_by_classifier,
+            load_text_classifier,
+        )
+
+        model = (load_text_classifier(clf_model)
+                 if isinstance(clf_model, str) else clf_model)
+        curated = observed(
+            filter_by_classifier(curated, model, min_clf_score),
+            "after_clf_gate",
         )
     if redact:
         curated = redact_pii(curated).drop("text").withColumnRenamed(
@@ -504,6 +526,13 @@ def curate_main(argv=None):
     parser.add_argument("--max-ppl", type=float, default=0.0,
                         help="drop documents whose LM perplexity "
                              "exceeds this (0 = gate off)")
+    parser.add_argument("--clf-model", default=None,
+                        help="saved quality-classifier parquet (train "
+                             "via 'train-clf') for the fastText-style "
+                             "model gate; requires --min-clf-score")
+    parser.add_argument("--min-clf-score", type=float, default=0.0,
+                        help="keep documents the classifier scores at "
+                             "least this (0 = gate off)")
     parser.add_argument("--dsir-target", default=None,
                         help="target-domain docs parquet: DSIR "
                              "importance resampling (Xie et al. 2023) "
@@ -589,6 +618,8 @@ def curate_main(argv=None):
         min_quality=args.min_quality,
         lm_model=args.lm_model,
         max_ppl=args.max_ppl,
+        clf_model=args.clf_model,
+        min_clf_score=args.min_clf_score,
         dsir_target_df=(spark.read.parquet(args.dsir_target)
                         if args.dsir_target else None),
         dsir_k=args.dsir_k,
@@ -694,6 +725,52 @@ def train_bpe_main(argv=None):
     )
     print(f"trained vocab_size={256 + len(merges)} "
           f"merges={len(merges)} -> {args.output}")
+    if owns_session:
+        spark.stop()
+
+
+def train_clf_main(argv=None):
+    """Train the fastText-style quality classifier (GPT-3 Appendix-A
+    setup: positive = curated/target slice, negative = raw pool sample)
+    and save it for curate/crawl-curate's --clf-model gate."""
+    parser = argparse.ArgumentParser(
+        description="sift-spark quality-classifier training job"
+    )
+    parser.add_argument("--pos", required=True,
+                        help="positive-class docs parquet (the curated"
+                             "/target-domain slice)")
+    parser.add_argument("--neg", required=True,
+                        help="negative-class docs parquet (a raw-pool "
+                             "sample of comparable size)")
+    parser.add_argument("--output", required=True,
+                        help="model parquet path")
+    parser.add_argument("--buckets", type=int, default=1 << 16,
+                        help="hashed-ngram feature buckets")
+    parser.add_argument("--iters", type=int, default=8,
+                        help="gradient-descent steps")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--cores", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .operators.textclf import (
+        save_text_classifier,
+        train_from_slices,
+    )
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name="sift-spark-train-clf", cores=args.cores)
+    model = train_from_slices(
+        spark.read.parquet(args.pos), spark.read.parquet(args.neg),
+        text_col=args.text_col, n_buckets=args.buckets,
+        n_iter=args.iters,
+    )
+    save_text_classifier(model, args.output)
+    print(f"trained buckets={args.buckets} "
+          f"nonzero_weights={len(model['weights'])} "
+          f"intercept={model['intercept']:.6f} docs={model['n_rows']} "
+          f"-> {args.output}")
     if owns_session:
         spark.stop()
 
@@ -831,6 +908,10 @@ def crawl_curate_main(argv=None):
                         help="saved n-gram LM for the perplexity gate "
                              "(see curate --lm-model)")
     parser.add_argument("--max-ppl", type=float, default=0.0)
+    parser.add_argument("--clf-model", default=None,
+                        help="saved quality-classifier parquet for the "
+                             "model gate (see curate --clf-model)")
+    parser.add_argument("--min-clf-score", type=float, default=0.0)
     parser.add_argument("--dsir-target", default=None,
                         help="target-domain docs parquet for DSIR "
                              "importance resampling (see curate)")
@@ -890,6 +971,8 @@ def crawl_curate_main(argv=None):
         min_quality=args.min_quality,
         lm_model=args.lm_model,
         max_ppl=args.max_ppl,
+        clf_model=args.clf_model,
+        min_clf_score=args.min_clf_score,
         dsir_target_df=(spark.read.parquet(args.dsir_target)
                         if args.dsir_target else None),
         dsir_k=args.dsir_k,
@@ -935,6 +1018,8 @@ def main(argv=None):
         return train_lm_main(argv[1:])
     if argv and argv[0] == "train-bpe":
         return train_bpe_main(argv[1:])
+    if argv and argv[0] == "train-clf":
+        return train_clf_main(argv[1:])
     parser = argparse.ArgumentParser(description="sift-spark extraction job")
     parser.add_argument("--input", required=True, help="pages parquet path")
     parser.add_argument("--output", required=True, help="output directory")

@@ -159,3 +159,50 @@ def test_scoring_plan_broadcasts_weights(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_train_clf_cli_and_curation_gate(spark, tmp_path):
+    """The job-level loop: `train-clf` saves a model from pos/neg
+    slices; `run_curation_job(clf_model=<path>, min_clf_score=...)`
+    loads it and drops the spam-like document while target-like text
+    survives (stage after_clf_gate in the funnel metrics)."""
+    from sift_spark.job import main, run_curation_job
+    from sift_spark.operators.textclf import load_text_classifier
+
+    pos_dir = str(tmp_path / "pos")
+    neg_dir = str(tmp_path / "neg")
+    spark.createDataFrame(
+        [(t,) for t in GOOD * 3], "text string"
+    ).write.parquet(pos_dir)
+    spark.createDataFrame(
+        [(t,) for t in SPAM * 3], "text string"
+    ).write.parquet(neg_dir)
+    model_path = str(tmp_path / "clf_model")
+    main(["train-clf", "--pos", pos_dir, "--neg", neg_dir,
+          "--output", model_path, "--buckets", "512", "--iters", "10"])
+    model = load_text_classifier(model_path)
+    assert model["weights"]
+
+    docs_dir = str(tmp_path / "gate_in")
+    spark.createDataFrame(
+        [(1, GOOD[0]), (2, SPAM[0])], ["doc_id", "text"]
+    ).write.parquet(docs_dir)
+    docs = spark.read.parquet(docs_dir)
+    out_dir = str(tmp_path / "gate_out")
+    out, metrics = run_curation_job(
+        spark, docs, out_dir, min_quality=0.0,
+        clf_model=model_path, min_clf_score=0.5)
+    assert metrics["after_clf_gate"] == 1
+    assert {r["doc_id"] for r in out.collect()} == {1}
+
+
+def test_clf_model_without_threshold_fails_loudly(spark, tmp_path):
+    """clf_model with min_clf_score unset must raise, not silently
+    skip the gate the operator asked for (the lm_model convention)."""
+    from sift_spark.job import run_curation_job
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_clf_score"):
+        run_curation_job(spark, docs, str(tmp_path / "out"),
+                         clf_model="/nonexistent/model")
