@@ -249,11 +249,16 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
             "clf_model given but min_clf_score is 0/unset -- pass "
             "min_clf_score (the keep threshold) to enable the gate"
         )
+    clf_persisted = None
     if clf_model is not None and min_clf_score:
         # MODEL-BASED quality gate, classifier family (fastText-style,
         # operators/textclf.py -- the GPT-3/DCLM setup): keep documents
         # the trained hashed-ngram classifier scores >= min_clf_score.
-        # One explode + one broadcast weight join + one groupBy.
+        # One explode + one broadcast weight join + one groupBy -- but
+        # the scorer references its input on BOTH sides of a self-join
+        # (the feature aggregate left-joins back onto the docs), so
+        # persist the frame or the whole upstream extraction+gates
+        # lineage evaluates twice per action (the span/DSIR pattern).
         from .operators.textclf import (
             filter_by_classifier,
             load_text_classifier,
@@ -261,8 +266,9 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
 
         model = (load_text_classifier(clf_model)
                  if isinstance(clf_model, str) else clf_model)
+        clf_persisted = curated.persist()
         curated = observed(
-            filter_by_classifier(curated, model, min_clf_score),
+            filter_by_classifier(clf_persisted, model, min_clf_score),
             "after_clf_gate",
         )
     if redact:
@@ -368,9 +374,15 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                           seed=dsir_seed),
             "after_dsir",
         )
-    curated.write.mode("overwrite").parquet(output_dir)
-    if dsir_persisted is not None:
-        dsir_persisted.unpersist()
+    try:
+        curated.write.mode("overwrite").parquet(output_dir)
+    finally:
+        # release even when the sink write fails -- a leaked cache of
+        # the full curated pool outlives the call in a shared session
+        if dsir_persisted is not None:
+            dsir_persisted.unpersist()
+        if clf_persisted is not None:
+            clf_persisted.unpersist()
     out = spark.read.parquet(output_dir)
     if write_hashes:
         # snapshot sink for the NEXT incremental run's seen_df: the

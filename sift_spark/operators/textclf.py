@@ -44,8 +44,16 @@ operators/nodeclf.py fixed-point discipline wholesale: features on the
 2^-10 grid, weights/probabilities on the 2^-20 grid, floor-quantised
 updates, power-of-two learning rate, and the rational sigmoid link
 (only correctly-rounded IEEE ops) -- identical bits on every engine and
-partitioning. `link='logistic'` (default) uses the true exp() sigmoid
-for production.
+partitioning. SCOPE of that guarantee: the order-independence argument
+needs every running gradient sum to stay exactly representable, i.e.
+|sum of d*x terms on the 2^-30 grid| < 2^23 -- it holds up to ~8M
+labelled docs sharing a bucket, far above any classifier training set
+(GPT-3/DCLM train on 10^5-10^6 labelled docs; the CORPUS being scored
+is unbounded -- scoring is embarrassingly parallel and has no sums
+across docs). Past that, training remains deterministic for a FIXED
+partitioning but the last float bits may vary across layouts.
+`link='logistic'` (default) uses the true exp() sigmoid for production
+and makes no cross-engine bit claim.
 """
 
 from __future__ import annotations
@@ -123,23 +131,29 @@ def _weights_df(spark, weights):
     return spark.createDataFrame(rows, "bucket long, w double")
 
 
-def _doc_scores(feats, labels_df, id_col, weights, intercept, link):
-    """(id, y?, p): current-model probability per labelled doc. LEFT
-    join from the label frame so zero-gram docs score
-    sigmoid(intercept) instead of disappearing."""
+def _with_z(feats, base_df, id_col, weights, intercept):
+    """base_df + `_z` (the linear score): broadcast weight join +
+    groupBy(id) sum, LEFT-joined back so zero-gram docs get
+    z = intercept instead of disappearing. The ONE definition of the
+    scoring contract -- trainer residuals and production scores must
+    never desynchronize."""
     spark = feats.sparkSession
     z = (
         feats.join(F.broadcast(_weights_df(spark, weights)), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("w") * F.col("x")).alias("_z"))
     )
-    zfull = (
-        labels_df.join(z, id_col, "left")
-        .withColumn(
-            "_z",
-            F.coalesce(F.col("_z"), F.lit(0.0)) + F.lit(float(intercept)),
-        )
+    return base_df.join(z, id_col, "left").withColumn(
+        "_z",
+        F.coalesce(F.col("_z"), F.lit(0.0)) + F.lit(float(intercept)),
     )
+
+
+def _doc_scores(feats, labels_df, id_col, weights, intercept, link):
+    """(id, y, p): current-model probability per labelled doc, floor-
+    quantised onto the weight grid (training only -- production scores
+    stay unquantised)."""
+    zfull = _with_z(feats, labels_df, id_col, weights, intercept)
     return zfull.withColumn(
         "p", quantize_col(_LINKS[link](F.col("_z")), WEIGHT_BITS)
     )
@@ -221,19 +235,30 @@ def train_text_classifier(docs_df, label_col="label",
 
 def train_from_slices(pos_df, neg_df, text_col="text", **kw):
     """Convenience wrapper for the GPT-3-style setup: positive =
-    curated/target slice, negative = raw pool sample. Ids are minted
-    fresh (ids only group grams within a doc; they never enter the
-    learned values, so synthetic ids keep training deterministic)."""
+    curated/target slice, negative = raw pool sample.
+
+    Ids are minted as xxhash64(text, label, occurrence#): fully
+    DETERMINISTIC from the data, so the trainer's two lineages over
+    the labelled frame (the cached label frame and the feature frame)
+    can never disagree on a document's id -- a
+    monotonically_increasing_id here would be re-evaluated
+    independently in each lineage and could silently mislabel features
+    (review r7). The occurrence number only disambiguates IDENTICAL
+    (text, label) rows, so whichever copy gets which number, the row
+    SET is unchanged -- re-evaluation-stable by construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text", "label").orderBy(F.lit(1))
     lab = lambda df, y: df.select(  # noqa: E731
-        F.monotonically_increasing_id().alias("doc_id"),
-        F.col(text_col).alias("text"),
-        F.lit(y).alias("label"),
+        F.col(text_col).alias("text"), F.lit(y).alias("label")
     )
-    # negate the negative slice's ids: monotonically_increasing_id is
-    # always >= 0, so the two ranges cannot collide (a fixed offset
-    # could -- the generator packs the partition id into the high bits)
-    both = lab(pos_df, 1).unionByName(
-        lab(neg_df, 0).withColumn("doc_id", -F.col("doc_id") - F.lit(1))
+    both = (
+        lab(pos_df, 1).unionByName(lab(neg_df, 0))
+        .withColumn("_occ", F.row_number().over(w))
+        .select(
+            F.xxhash64("text", "label", "_occ").alias("doc_id"),
+            "text", "label",
+        )
     )
     return train_text_classifier(both, "label", text_col="text", **kw)
 
@@ -244,26 +269,14 @@ def score_text_classifier(docs_df, model, score_col="clf_score",
     one explode + one BROADCAST join on bucket + one groupBy, then a
     left join back onto the input (zero-gram docs score
     sigmoid(intercept))."""
-    spark = docs_df.sparkSession
     feats = doc_feature_table(
         docs_df, model["n_buckets"], id_col, text_col,
         model.get("portable_hash", False),
     )
-    z = (
-        feats.join(
-            F.broadcast(_weights_df(spark, model["weights"])), "bucket"
-        )
-        .groupBy(id_col)
-        .agg(F.sum(F.col("w") * F.col("x")).alias("_z"))
-    )
     link = _LINKS[model.get("link", "logistic")]
     return (
-        docs_df.join(z, id_col, "left")
-        .withColumn(
-            "_z",
-            F.coalesce(F.col("_z"), F.lit(0.0))
-            + F.lit(float(model["intercept"])),
-        )
+        _with_z(feats, docs_df, id_col, model["weights"],
+                model["intercept"])
         .withColumn(score_col, link(F.col("_z")))
         .drop("_z")
     )
