@@ -254,11 +254,14 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         # MODEL-BASED quality gate, classifier family (fastText-style,
         # operators/textclf.py -- the GPT-3/DCLM setup): keep documents
         # the trained hashed-ngram classifier scores >= min_clf_score.
-        # One explode + one broadcast weight join + one groupBy -- but
-        # the scorer references its input on BOTH sides of a self-join
-        # (the feature aggregate left-joins back onto the docs), so
-        # persist the frame or the whole upstream extraction+gates
-        # lineage evaluates twice per action (the span/DSIR pattern).
+        # Portable (md5-bucketed) models gate through the NARROW udf
+        # scorer -- zero shuffle, composes into the scan-side pipeline
+        # like the perplexity gate. xxhash64 models use the join scorer,
+        # which references its input on BOTH sides of a self-join (the
+        # feature aggregate left-joins back onto the docs), so that
+        # path persists the frame or the whole upstream extraction+
+        # gates lineage evaluates twice per action (the span/DSIR
+        # pattern).
         from .operators.textclf import (
             filter_by_classifier,
             load_text_classifier,
@@ -266,9 +269,11 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
 
         model = (load_text_classifier(clf_model)
                  if isinstance(clf_model, str) else clf_model)
-        clf_persisted = curated.persist()
+        gated = curated
+        if not model.get("portable_hash", False):
+            clf_persisted = gated = curated.persist()
         curated = observed(
-            filter_by_classifier(clf_persisted, model, min_clf_score),
+            filter_by_classifier(gated, model, min_clf_score),
             "after_clf_gate",
         )
     if redact:
@@ -760,6 +765,13 @@ def train_clf_main(argv=None):
                         help="hashed-ngram feature buckets")
     parser.add_argument("--iters", type=int, default=8,
                         help="gradient-descent steps")
+    parser.add_argument("--hash", default="md5",
+                        choices=["md5", "xxhash64"],
+                        help="feature-bucket hash: md5 (default) makes "
+                             "the model PORTABLE, so the curation gate "
+                             "scores it with the zero-shuffle udf path; "
+                             "xxhash64 is the cheaper native hash but "
+                             "forces the join scorer")
     parser.add_argument("--text-col", default="text")
     parser.add_argument("--cores", type=int, default=None)
     args = parser.parse_args(argv)
@@ -776,7 +788,7 @@ def train_clf_main(argv=None):
     model = train_from_slices(
         spark.read.parquet(args.pos), spark.read.parquet(args.neg),
         text_col=args.text_col, n_buckets=args.buckets,
-        n_iter=args.iters,
+        n_iter=args.iters, portable_hash=(args.hash == "md5"),
     )
     save_text_classifier(model, args.output)
     print(f"trained buckets={args.buckets} "

@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from .dsir import _bucket_col, _gram_col
@@ -263,12 +264,90 @@ def train_from_slices(pos_df, neg_df, text_col="text", **kw):
     return train_text_classifier(both, "label", text_col="text", **kw)
 
 
+def classifier_score_udf(spark, model):
+    """The ZERO-SHUFFLE scoring kernel (the operators/lm.py `udf`
+    precedent): the weight dict is Spark-broadcast and one Arrow-batched
+    pandas UDF re-derives the identical score per document -- a narrow
+    projection, so it composes into scan-side filtering and Structured
+    Streaming (no stateful aggregation). Requires a PORTABLE model
+    (portable_hash=True: md5 buckets, computable engine-side and in
+    Python alike); xxhash64 models must use the join path, since
+    Spark's xxhash64 is engine-internal.
+
+    Bit parity with the join path: bucketing (int(md5hex[:8], 16) %% B
+    == pmod(conv(substr(md5, 1, 8), 16, 10), B)), the floor-quantised
+    x, and the w*x products are all exactly representable, so the sums
+    agree bit-for-bit regardless of addition order; with
+    link='rational' the final score is bit-identical, with 'logistic'
+    Python's exp() may differ from the JVM's in the last ulp."""
+    import hashlib
+    import re
+
+    if not model.get("portable_hash", False):
+        raise ValueError(
+            "classifier_score_udf needs a portable (md5-bucketed) "
+            "model; this one was trained with xxhash64 buckets -- "
+            "use the join path or retrain with portable_hash=True"
+        )
+    from .lm import _TOKEN_SPLIT
+
+    weights = {int(b): float(w) for b, w in model["weights"].items()}
+    bc = spark.sparkContext.broadcast(weights)
+    b0 = float(model["intercept"])
+    n_buckets = int(model["n_buckets"])
+    link = model.get("link", "logistic")
+    split_re = re.compile(_TOKEN_SPLIT)
+    scale = float(1 << FEATURE_BITS)
+
+    @F.pandas_udf("double")
+    def _score(text: pd.Series) -> pd.Series:
+        w = bc.value
+        out = []
+        for t in text:
+            toks = [x for x in split_re.split((t or "").lower()) if x]
+            grams = toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+            z = b0
+            if grams:
+                n = len(grams)
+                cnt = {}
+                for g in grams:
+                    bkt = int(
+                        hashlib.md5(g.encode("utf-8")).hexdigest()[:8],
+                        16,
+                    ) % n_buckets
+                    cnt[bkt] = cnt.get(bkt, 0) + 1
+                for bkt, c in cnt.items():
+                    wv = w.get(bkt)
+                    if wv:
+                        z += wv * (
+                            math.floor(scale * c / n) / scale
+                        )
+            if link == "rational":
+                out.append(0.5 + 0.5 * z / (1.0 + abs(z)))
+            else:
+                out.append(1.0 / (1.0 + math.exp(-z)))
+        return pd.Series(out)
+
+    return _score
+
+
 def score_text_classifier(docs_df, model, score_col="clf_score",
-                          id_col="doc_id", text_col="text"):
-    """docs_df + a probability column (higher = more target-like):
-    one explode + one BROADCAST join on bucket + one groupBy, then a
-    left join back onto the input (zero-gram docs score
-    sigmoid(intercept))."""
+                          id_col="doc_id", text_col="text",
+                          method="join"):
+    """docs_df + a probability column (higher = more target-like).
+
+    method='join' (default): one explode + one BROADCAST join on
+    bucket + one groupBy, then a left join back onto the input
+    (zero-gram docs score sigmoid(intercept)). method='udf': fully
+    narrow -- no shuffle, no self-join -- via classifier_score_udf
+    (portable models only)."""
+    if method == "udf":
+        score = classifier_score_udf(docs_df.sparkSession, model)
+        return docs_df.withColumn(score_col, score(F.col(text_col)))
+    if method != "join":
+        raise ValueError(f"method must be 'join' or 'udf', got {method!r}")
     feats = doc_feature_table(
         docs_df, model["n_buckets"], id_col, text_col,
         model.get("portable_hash", False),
@@ -283,11 +362,16 @@ def score_text_classifier(docs_df, model, score_col="clf_score",
 
 
 def filter_by_classifier(docs_df, model, min_score,
-                         id_col="doc_id", text_col="text"):
+                         id_col="doc_id", text_col="text",
+                         method="auto"):
     """Keep docs the model scores >= min_score (the --min-clf-score
-    funnel stage)."""
+    funnel stage). method='auto' picks the narrow udf path when the
+    model is portable (no shuffle, no persist needed around the gate)
+    and the join path otherwise."""
+    if method == "auto":
+        method = "udf" if model.get("portable_hash", False) else "join"
     return score_text_classifier(
-        docs_df, model, "_clf_score", id_col, text_col
+        docs_df, model, "_clf_score", id_col, text_col, method=method
     ).filter(F.col("_clf_score") >= F.lit(float(min_score))).drop(
         "_clf_score"
     )
