@@ -206,3 +206,106 @@ def test_clf_model_without_threshold_fails_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="min_clf_score"):
         run_curation_job(spark, docs, str(tmp_path / "out"),
                          clf_model="/nonexistent/model")
+
+
+def test_udf_scorer_matches_join_bit_for_bit(spark):
+    """Portable model, rational link: the narrow udf path reproduces
+    the join path's scores EXACTLY (shared grids make the sums
+    order-independent; rational sigmoid is correctly-rounded IEEE ops
+    in both engines)."""
+    docs = _labelled(spark)
+    model = train_text_classifier(
+        docs, n_buckets=512, n_iter=6, link="rational",
+        portable_hash=True,
+    )
+    j = {r["doc_id"]: r["clf_score"]
+         for r in score_text_classifier(docs, model, method="join")
+         .select("doc_id", "clf_score").collect()}
+    u = {r["doc_id"]: r["clf_score"]
+         for r in score_text_classifier(docs, model, method="udf")
+         .select("doc_id", "clf_score").collect()}
+    assert j == u  # identical bits
+
+
+def test_udf_scorer_logistic_close(spark):
+    docs = _labelled(spark)
+    model = train_text_classifier(
+        docs, n_buckets=512, n_iter=6, link="logistic",
+        portable_hash=True,
+    )
+    j = {r["doc_id"]: r["clf_score"]
+         for r in score_text_classifier(docs, model, method="join")
+         .select("doc_id", "clf_score").collect()}
+    u = {r["doc_id"]: r["clf_score"]
+         for r in score_text_classifier(docs, model, method="udf")
+         .select("doc_id", "clf_score").collect()}
+    for k in j:
+        assert u[k] == pytest.approx(j[k], rel=1e-12)
+
+
+def test_udf_scorer_requires_portable_model(spark):
+    docs = _labelled(spark, reps=1)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=2)
+    with pytest.raises(ValueError, match="portable"):
+        score_text_classifier(docs, model, method="udf").collect()
+
+
+def test_udf_path_is_narrow(spark):
+    """The udf scorer must not shuffle or join -- it composes into the
+    scan-side pipeline (and into Structured Streaming)."""
+    docs = _labelled(spark, reps=1)
+    model = train_text_classifier(
+        docs, n_buckets=512, n_iter=2, portable_hash=True
+    )
+    scored = score_text_classifier(docs, model, method="udf")
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_filter_auto_picks_udf_for_portable(spark):
+    """method='auto' gates portable models through the narrow path and
+    keeps the same documents as the join path."""
+    docs = _labelled(spark)
+    model = train_text_classifier(
+        docs, n_buckets=512, n_iter=10, link="rational",
+        portable_hash=True,
+    )
+    auto = filter_by_classifier(docs, model, 0.5, method="auto")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # narrow path chosen
+    kept_auto = {r["doc_id"] for r in auto.collect()}
+    kept_join = {
+        r["doc_id"]
+        for r in filter_by_classifier(
+            docs, model, 0.5, method="join"
+        ).collect()
+    }
+    assert kept_auto == kept_join
+    assert kept_auto  # non-vacuous
+
+
+def test_udf_gate_on_a_stream(spark, tmp_path):
+    """The narrow scorer composes into Structured Streaming (no
+    stateful aggregation): availableNow micro-batch over a file
+    stream, classifier gate applied per batch."""
+    from sift_spark.operators.textclf import filter_by_classifier
+
+    docs = _labelled(spark, reps=1)
+    model = train_text_classifier(
+        docs, n_buckets=512, n_iter=10, portable_hash=True
+    )
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, label int"
+    ).parquet(src)
+    gated = filter_by_classifier(stream, model, 0.5, method="udf")
+    out = str(tmp_path / "out")
+    q = (gated.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out).collect()
+    assert sorted(r["label"] for r in kept) == [1] * 4
