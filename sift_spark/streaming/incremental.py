@@ -84,7 +84,9 @@ def stream_exact_dedup(spark, input_path, output_path, checkpoint_path,
 
 def stream_curation(spark, input_path, output_path, checkpoint_path,
                     lang="en", min_quality=0.5, watermark="1 hour",
-                    file_format="parquet"):
+                    file_format="parquet",
+                    lm_model=None, max_ppl=0.0,
+                    clf_model=None, min_clf_score=0.0):
     """Streaming training-data curation over a continuous document feed:
     the batch corpus_curation gates (language + quality score) applied
     stateless per row, then a watermarked near-identical drop on the
@@ -93,7 +95,14 @@ def stream_curation(spark, input_path, output_path, checkpoint_path,
     whitespace-trivial variants), so ONE survives per horizon. State is
     one 8-byte hash per surviving doc within the watermark, not history.
     Full near-dup banding (hamming > 0) needs cross-row joins and stays
-    a periodic batch job (operators/dedup.py)."""
+    a periodic batch job (operators/dedup.py).
+
+    The batch pipeline's MODEL-BASED gates compose in because both have
+    narrow udf scorers (no stateful aggregation): lm_model/max_ppl
+    applies the CCNet perplexity gate (operators/lm.py, model shipped
+    to workers), clf_model/min_clf_score the fastText-style classifier
+    gate (operators/textclf.py, PORTABLE md5-bucketed models only --
+    the udf path's requirement)."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import simhash64_udf
@@ -110,8 +119,25 @@ def stream_curation(spark, input_path, output_path, checkpoint_path,
         .withColumn("quality_score", quality)
         .filter((F.col("lang_guess") == lang)
                 & (F.col("quality_score") >= min_quality))
-        .withColumn("simhash", simhash64_udf(F.col("text")))
     )
+    if lm_model is not None and max_ppl:
+        from ..operators.lm import filter_by_perplexity, load_lm
+
+        lm = (load_lm(spark, lm_model)
+              if isinstance(lm_model, str) else lm_model)
+        curated = filter_by_perplexity(curated, lm, max_ppl,
+                                       method="udf")
+    if clf_model is not None and min_clf_score:
+        from ..operators.textclf import (
+            filter_by_classifier,
+            load_text_classifier,
+        )
+
+        clf = (load_text_classifier(clf_model)
+               if isinstance(clf_model, str) else clf_model)
+        curated = filter_by_classifier(curated, clf, min_clf_score,
+                                       method="udf")
+    curated = curated.withColumn("simhash", simhash64_udf(F.col("text")))
     deduped = (
         curated.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["simhash"])

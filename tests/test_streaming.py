@@ -291,3 +291,44 @@ def test_stream_warc_extract(spark, tmp_path):
     assert set(out) == {"http://s0.example/", "http://s1.example/"}
     assert all(r["error"] is None for r in out.values())
     assert "streaming warc body 0" in out["http://s0.example/"]["text"]
+
+
+def test_stream_curation_model_gates(spark, tmp_path):
+    """The model-based gates compose into the stream: a portable
+    classifier (narrow udf scorer) drops the spam-like doc that passes
+    the heuristic gates."""
+    from datetime import datetime, timedelta
+
+    from sift_spark.operators.textclf import train_text_classifier
+    from sift_spark.streaming.incremental import stream_curation
+
+    good = ("the committee published a detailed report on regional "
+            "water policy and the projected budget for the decade "
+            "while the council heard testimony from the residents.")
+    spam = ("click here to buy now with the best cheap prices and "
+            "win big money in the casino bonus round you can claim "
+            "the free offer now before the deal is gone forever.")
+    train = spark.createDataFrame(
+        [(i, f"{good} part {i}", 1) for i in range(6)]
+        + [(100 + i, f"{spam} lot {i}", 0) for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    model = train_text_classifier(
+        train, n_buckets=512, n_iter=10, portable_hash=True
+    )
+
+    t0 = datetime(2025, 6, 1, 8, 0, 0)
+    input_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, t0, good), (2, t0 + timedelta(minutes=1), spam)],
+        "doc_id long, ts timestamp, text string",
+    ).write.parquet(input_dir)
+    output_dir = str(tmp_path / "out")
+    q = stream_curation(spark, input_dir, output_dir,
+                        str(tmp_path / "ckpt"),
+                        clf_model=model, min_clf_score=0.5)
+    q.awaitTermination(180)
+    q.stop()
+    kept = sorted(r["doc_id"]
+                  for r in spark.read.parquet(output_dir).collect())
+    assert kept == [1]  # spam passed heuristics but not the model gate
