@@ -377,6 +377,77 @@ def filter_by_classifier(docs_df, model, min_score,
     )
 
 
+def evaluate_classifier(docs_df, model, label_col="label",
+                        id_col="doc_id", text_col="text",
+                        threshold=0.5, method="join"):
+    """Held-out evaluation in TWO jobs: accuracy/precision/recall at
+    `threshold` plus exact AUC via the rank-sum (Mann-Whitney U)
+    identity AUC = (sum of positive ranks - n_pos*(n_pos+1)/2) /
+    (n_pos*n_neg), with ties handled by average rank (the textbook
+    estimator). Ranking is one global sort over (score) -- the eval
+    set is a labelled sample, never the corpus, so the sort is small;
+    every real pipeline reports these numbers before trusting a filter
+    (CCNet, GPT-3 App. A, DCLM all evaluate their quality filters).
+
+    Returns {"n": int, "accuracy": float, "precision": float|None,
+    "recall": float|None, "auc": float|None} (None where undefined:
+    no predicted positives / no actual positives / a single class)."""
+    from pyspark.sql import Window
+
+    scored = score_text_classifier(
+        docs_df, model, "_s", id_col, text_col, method=method
+    ).select(
+        F.col("_s"), F.col(label_col).cast("int").alias("_y")
+    )
+    # average rank over score ties: rank() gives the tie-group start,
+    # count() its size; avg rank = start + (size - 1) / 2
+    w = Window.orderBy("_s")
+    ranked = scored.withColumn(
+        "_r",
+        F.rank().over(w)
+        + (F.count("*").over(Window.partitionBy("_s")) - 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r"))).alias("pos_ranks"),
+        F.sum(F.when((F.col("_s") >= threshold) & (F.col("_y") == 1), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("_s") >= threshold) & (F.col("_y") == 0), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("_s") < threshold) & (F.col("_y") == 0), 1)
+              .otherwise(0)).alias("tn"),
+    ).first()
+    n, n_pos = agg["n"], agg["n_pos"] or 0
+    n_neg = n - n_pos
+    tp, fp, tn = agg["tp"], agg["fp"], agg["tn"]
+    auc = None
+    if n_pos and n_neg:
+        auc = (agg["pos_ranks"] - n_pos * (n_pos + 1) / 2.0) / (
+            n_pos * n_neg
+        )
+    return {
+        "n": n,
+        "accuracy": (tp + tn) / n if n else None,
+        "precision": tp / (tp + fp) if (tp + fp) else None,
+        "recall": tp / n_pos if n_pos else None,
+        "auc": auc,
+    }
+
+
+def classifier_threshold(scored_df, keep_frac, score_col="clf_score",
+                         relative_error=0.001):
+    """The min_clf_score that keeps ~keep_frac of a scored corpus
+    (the CCNet-style data-driven cutoff -- the perplexity_thresholds
+    convention from operators/lm.py): one approxQuantile driver action
+    over a single-column scan of the SCORED table."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    return scored_df.approxQuantile(
+        score_col, [1.0 - keep_frac], relative_error
+    )[0]
+
+
 _META_BUCKET = -1  # the intercept/meta row's bucket key
 
 

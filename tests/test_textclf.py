@@ -309,3 +309,82 @@ def test_udf_gate_on_a_stream(spark, tmp_path):
     q.awaitTermination(120)
     kept = spark.read.parquet(out).collect()
     assert sorted(r["label"] for r in kept) == [1] * 4
+
+
+def _ref_auc(pairs):
+    """Reference rank-sum AUC with average-rank ties, O(n^2)-free via
+    sorting -- independent re-derivation for the unit."""
+    s = sorted(pairs, key=lambda p: p[0])
+    ranks, i = {}, 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j][0] == s[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # ranks i+1 .. j
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    pos = [ranks[k] for k, (_, y) in enumerate(s) if y == 1]
+    n_pos = len(pos)
+    n_neg = len(s) - n_pos
+    if not n_pos or not n_neg:
+        return None
+    return (sum(pos) - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def test_evaluate_classifier_metrics(spark):
+    """AUC matches an independent average-rank reference on the actual
+    scored fixture; perfect separation gives accuracy/precision/recall
+    of 1.0 at the 0.5 threshold."""
+    from sift_spark.operators.textclf import evaluate_classifier
+
+    docs = _labelled(spark)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=10)
+    m = evaluate_classifier(docs, model)
+    assert m["n"] == 24
+    assert m["accuracy"] == 1.0
+    assert m["precision"] == 1.0
+    assert m["recall"] == 1.0
+    pairs = [
+        (r["clf_score"], r["label"])
+        for r in score_text_classifier(docs, model).collect()
+    ]
+    assert m["auc"] == pytest.approx(_ref_auc(pairs), abs=1e-12)
+    assert m["auc"] == 1.0  # the fixture separates perfectly
+
+
+def test_evaluate_classifier_degenerate_cases(spark):
+    """Constant scores -> AUC 0.5 (all ties, average rank); single
+    class -> AUC None."""
+    from sift_spark.operators.textclf import evaluate_classifier
+
+    docs = _labelled(spark, reps=1)
+    # untrained model: all weights zero -> every doc scores the same
+    zero = {"intercept": 0.0, "weights": {}, "n_buckets": 512,
+            "lr": 0.5, "n_rows": 8, "link": "rational",
+            "portable_hash": False}
+    m = evaluate_classifier(docs, zero)
+    assert m["auc"] == pytest.approx(0.5)
+    assert m["precision"] == pytest.approx(0.5)  # all predicted pos
+    only_pos = docs.filter(F.col("label") == 1)
+    m2 = evaluate_classifier(only_pos, zero)
+    assert m2["auc"] is None
+    assert m2["recall"] == 1.0
+
+
+def test_classifier_threshold_keep_frac(spark):
+    from sift_spark.operators.textclf import classifier_threshold
+
+    docs = _labelled(spark)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=10)
+    scored = score_text_classifier(docs, model)
+    thr = classifier_threshold(scored, 0.5)
+    kept = scored.filter(F.col("clf_score") >= thr).count()
+    # the fixture's scores cluster near 0 and 1, so the 0.5-quantile
+    # cut is coarse: all 12 positives survive, plus at most a handful
+    # of tied spam scores
+    assert 12 <= kept <= 18
+    assert (scored.filter((F.col("clf_score") >= thr)
+                          & (F.col("label") == 1)).count() == 12)
+    with pytest.raises(ValueError, match="keep_frac"):
+        classifier_threshold(scored, 0.0)
