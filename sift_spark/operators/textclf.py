@@ -420,7 +420,9 @@ def evaluate_classifier(docs_df, model, label_col="label",
     ).first()
     n, n_pos = agg["n"], agg["n_pos"] or 0
     n_neg = n - n_pos
-    tp, fp, tn = agg["tp"], agg["fp"], agg["tn"]
+    # sums over zero rows are null -- an empty eval frame must return
+    # the documented None metrics, not a None+None TypeError
+    tp, fp, tn = agg["tp"] or 0, agg["fp"] or 0, agg["tn"] or 0
     auc = None
     if n_pos and n_neg:
         auc = (agg["pos_ranks"] - n_pos * (n_pos + 1) / 2.0) / (
@@ -443,9 +445,16 @@ def classifier_threshold(scored_df, keep_frac, score_col="clf_score",
     over a single-column scan of the SCORED table."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
-    return scored_df.approxQuantile(
+    q = scored_df.approxQuantile(
         score_col, [1.0 - keep_frac], relative_error
-    )[0]
+    )
+    if not q:  # approxQuantile returns [] when no non-null values exist
+        raise ValueError(
+            f"no non-null {score_col!r} values to take a quantile of "
+            "-- the scored frame is empty (did an upstream gate drop "
+            "everything?)"
+        )
+    return q[0]
 
 
 _META_BUCKET = -1  # the intercept/meta row's bucket key

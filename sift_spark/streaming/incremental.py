@@ -108,6 +108,19 @@ def stream_curation(spark, input_path, output_path, checkpoint_path,
     from ..operators.dedup import simhash64_udf
     from ..operators.textstats import lang_id_col, quality_cols
 
+    # threshold guards FIRST (before any source is touched): a model
+    # with no threshold would silently skip the gate the operator
+    # asked for (the run_curation_job convention)
+    if lm_model is not None and not max_ppl:
+        raise ValueError(
+            "lm_model given but max_ppl is 0/unset -- pass max_ppl "
+            "(the tail perplexity threshold) to enable the gate"
+        )
+    if clf_model is not None and not min_clf_score:
+        raise ValueError(
+            "clf_model given but min_clf_score is 0/unset -- pass "
+            "min_clf_score (the keep threshold) to enable the gate"
+        )
     docs = (
         spark.readStream.format(file_format)
         .schema("doc_id long, ts timestamp, text string")

@@ -388,3 +388,39 @@ def test_classifier_threshold_keep_frac(spark):
                           & (F.col("label") == 1)).count() == 12)
     with pytest.raises(ValueError, match="keep_frac"):
         classifier_threshold(scored, 0.0)
+
+
+def test_evaluate_classifier_empty_frame(spark):
+    """An empty eval frame returns the documented None metrics, not a
+    None+None TypeError (review r7 pass 2)."""
+    from sift_spark.operators.textclf import evaluate_classifier
+
+    docs = _labelled(spark, reps=1)
+    model = train_text_classifier(docs, n_buckets=512, n_iter=2)
+    empty = docs.filter(F.col("doc_id") < 0)
+    m = evaluate_classifier(empty, model)
+    assert m == {"n": 0, "accuracy": None, "precision": None,
+                 "recall": None, "auc": None}
+
+
+def test_classifier_threshold_empty_raises_loudly(spark):
+    from sift_spark.operators.textclf import classifier_threshold
+
+    empty = spark.createDataFrame([], "clf_score double")
+    with pytest.raises(ValueError, match="empty"):
+        classifier_threshold(empty, 0.5)
+
+
+def test_stream_gate_without_threshold_fails_loudly(spark, tmp_path):
+    """stream_curation mirrors the batch loud-failure convention
+    (review r7 pass 2: the silent-skip class)."""
+    from sift_spark.streaming.incremental import stream_curation
+
+    with pytest.raises(ValueError, match="min_clf_score"):
+        stream_curation(spark, str(tmp_path / "in"),
+                        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                        clf_model={"weights": {}})
+    with pytest.raises(ValueError, match="max_ppl"):
+        stream_curation(spark, str(tmp_path / "in"),
+                        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+                        lm_model="/nonexistent")
