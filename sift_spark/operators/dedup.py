@@ -1320,6 +1320,102 @@ def _excise_spans_udf(k):
     return _excise
 
 
+def _removed_window_positions(docs_df, k, min_count, id_col, text_col,
+                              hash_mode):
+    """The shared window-hash stage of the ExactSubstr family:
+    (base, removed) where base = non-null docs with `_text`/`words`
+    columns and removed = (id, pos) word-start positions of every
+    NON-CANONICAL duplicated k-word window (count >= min_count, the
+    minimum (doc_id, pos) occurrence kept as owner). One shuffle on
+    the compact window-hash key."""
+    words_col = F.filter(
+        F.split(F.col(text_col), r"[ \t\r\n\f]+"), lambda w: w != ""
+    )
+    base = docs_df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.col(text_col).alias("_text"),
+        words_col.alias("words")
+    )
+    n_words = F.size("words")
+    if hash_mode == "md5":
+        # exact 128-bit windows; unhex halves the old hex shuffle
+        # bytes (VERDICT r5 #2: 16-byte binary, not 32-char hex)
+        window_hashes = F.when(
+            n_words >= k,
+            F.transform(
+                F.sequence(F.lit(0), n_words - k),
+                lambda p: F.unhex(F.md5(
+                    F.array_join(F.slice("words", p + 1, k), " ")
+                )),
+            ),
+        ).otherwise(F.array().cast("array<binary>"))
+    else:
+        word_hashes = F.transform("words", lambda w: F.xxhash64(w))
+        window_hashes = _rolling_window_hash_udf(k)(word_hashes)
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(window_hashes).alias("pos", "whash"),
+    )
+    per_hash = Window.partitionBy("whash")
+    per_hash_order = per_hash.orderBy(F.col(id_col), F.col("pos"))
+    removed = (
+        wins.withColumn("_n_occ", F.count("*").over(per_hash))
+        .withColumn("_rank", F.row_number().over(per_hash_order))
+        .filter((F.col("_n_occ") >= min_count) & (F.col("_rank") > 1))
+        .select(F.col(id_col), F.col("pos"))
+    )
+    return base, removed
+
+
+def duplicated_spans_table(docs_df, k=50, min_count=2, id_col="doc_id",
+                           text_col="text", hash_mode="rolling"):
+    """(id, span_start, span_end, span_words): the MAXIMAL duplicated
+    spans as a first-class analysis table -- the arbitrary-length span
+    REPORT of the ExactSubstr paper (Lee et al. ACL'22 report maximal
+    duplicated substrings from their suffix array), derived from the
+    fixed-k window table: overlapping or adjacent non-canonical
+    duplicated k-windows merge into runs (a window at pos covers word
+    indices [pos, pos+k); the next window extends the run iff
+    pos_next <= pos_prev + k). A 400-word verbatim quote therefore
+    surfaces as ONE (start, end, 400)-ish row, not 350 window rows.
+
+    Spans are the REMOVAL spans (the canonical first occurrence is not
+    reported -- these are exactly the words duplicated_span_dedup would
+    excise; a parity unit pins sum(span_words) == words removed).
+    span_start/span_end are word indices, end exclusive.
+
+    Audit surface: span-length histograms, worst-offender docs, what a
+    given k/min_count WOULD cut -- without touching any text. Plan: the
+    shared one-shuffle window-hash stage + one lag window per doc for
+    the run merge (narrow per-doc partitions)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if hash_mode not in ("rolling", "md5"):
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
+    _, removed = _removed_window_positions(
+        docs_df, k, min_count, id_col, text_col, hash_mode
+    )
+    per_doc = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        removed
+        .withColumn(
+            "_new",
+            F.when(F.col("pos") > F.lag("pos").over(per_doc) + k, 1)
+            .otherwise(0),  # lag null (first window) -> 0: run starts
+        )
+        .withColumn("_run", F.sum("_new").over(per_doc))
+        .groupBy(id_col, "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .select(
+            F.col(id_col), "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .alias("span_words"),
+        )
+    )
+
+
 def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
                           text_col="text", hash_mode="rolling"):
     """Exact duplicated-substring removal at word granularity (Lee et
@@ -1371,41 +1467,10 @@ def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
         F.lit(0).cast("long").alias("n_words"),
         F.lit(0).cast("long").alias("n_dropped"),
     )
-    words_col = F.filter(
-        F.split(F.col(text_col), r"[ \t\r\n\f]+"), lambda w: w != ""
-    )
-    base = docs_df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.col(text_col).alias("_text"),
-        words_col.alias("words")
+    base, removed = _removed_window_positions(
+        docs_df, k, min_count, id_col, text_col, hash_mode
     )
     n_words = F.size("words")
-    if hash_mode == "md5":
-        # exact 128-bit windows; unhex halves the old hex shuffle
-        # bytes (VERDICT r5 #2: 16-byte binary, not 32-char hex)
-        window_hashes = F.when(
-            n_words >= k,
-            F.transform(
-                F.sequence(F.lit(0), n_words - k),
-                lambda p: F.unhex(F.md5(
-                    F.array_join(F.slice("words", p + 1, k), " ")
-                )),
-            ),
-        ).otherwise(F.array().cast("array<binary>"))
-    else:
-        word_hashes = F.transform("words", lambda w: F.xxhash64(w))
-        window_hashes = _rolling_window_hash_udf(k)(word_hashes)
-    wins = base.select(
-        F.col(id_col),
-        F.posexplode(window_hashes).alias("pos", "whash"),
-    )
-    per_hash = Window.partitionBy("whash")
-    per_hash_order = per_hash.orderBy(F.col(id_col), F.col("pos"))
-    removed = (
-        wins.withColumn("_n_occ", F.count("*").over(per_hash))
-        .withColumn("_rank", F.row_number().over(per_hash_order))
-        .filter((F.col("_n_occ") >= min_count) & (F.col("_rank") > 1))
-        .select(F.col(id_col), F.col("pos"))
-    )
     spans_by_doc = removed.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_rpos")
     )

@@ -2765,3 +2765,70 @@ def test_line_frequency_dedup_null_text_passthrough(spark):
     assert out[3]["n_lines"] == 0 and out[3]["n_dropped"] == 0
     assert out[1]["text_clean"] == "own words one"
     assert out[1]["n_dropped"] == 1
+
+
+def test_duplicated_spans_table_planted(spark):
+    """Maximal-span report: two docs share a 6-word phrase; with k=3
+    the non-canonical doc reports ONE merged [start, start+6) span."""
+    from sift_spark.operators.dedup import duplicated_spans_table
+
+    phrase = "alpha beta gamma delta epsilon zeta"
+    a = "one two three " + phrase + " four five six"
+    b = "seven eight " + phrase + " nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = duplicated_spans_table(docs, k=3).collect()
+    assert len(rows) == 1  # canonical occurrence (doc 1) not reported
+    r = rows[0]
+    assert r["doc_id"] == 2
+    assert r["span_start"] == 2  # after "seven eight"
+    assert r["span_end"] == 8
+    assert r["span_words"] == 6
+
+
+def test_duplicated_spans_table_within_doc_and_parity(spark):
+    """Within-doc repetition surfaces on the second occurrence, and
+    sum(span_words) per doc equals duplicated_span_dedup's n_dropped
+    (the table reports EXACTLY what the dedup would excise) in both
+    hash modes."""
+    from sift_spark.operators.dedup import (
+        duplicated_span_dedup,
+        duplicated_spans_table,
+    )
+
+    phrase = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {phrase} middle part {phrase} tail words here"),
+            (2, f"fresh content without any repeats at all {phrase}"),
+            (3, "completely unique text that repeats nothing of note"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    for mode in ("rolling", "md5"):
+        spans = duplicated_spans_table(docs, k=4, hash_mode=mode)
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in spans.collect()
+        }
+        # doc 1: second in-doc occurrence at words 11..19; doc 2: its
+        # copy of the phrase at words 7..15 (doc 1's first occurrence
+        # at pos 1 is canonical)
+        assert (1, 11, 19) in got
+        assert (2, 7, 15) in got
+        assert all(d != 3 for d, _, _ in got)
+        per_doc = {}
+        for r in spans.collect():
+            per_doc[r["doc_id"]] = (
+                per_doc.get(r["doc_id"], 0) + r["span_words"]
+            )
+        dropped = {
+            r["doc_id"]: r["n_dropped"]
+            for r in duplicated_span_dedup(
+                docs, k=4, hash_mode=mode
+            ).collect()
+        }
+        for d in (1, 2, 3):
+            assert per_doc.get(d, 0) == dropped[d], (mode, d)
