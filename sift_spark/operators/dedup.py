@@ -1327,7 +1327,12 @@ def _removed_window_positions(docs_df, k, min_count, id_col, text_col,
     columns and removed = (id, pos) word-start positions of every
     NON-CANONICAL duplicated k-word window (count >= min_count, the
     minimum (doc_id, pos) occurrence kept as owner). One shuffle on
-    the compact window-hash key."""
+    the compact window-hash key. Owns the parameter validation for
+    every public entry point of the family."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if hash_mode not in ("rolling", "md5"):
+        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     words_col = F.filter(
         F.split(F.col(text_col), r"[ \t\r\n\f]+"), lambda w: w != ""
     )
@@ -1387,10 +1392,6 @@ def duplicated_spans_table(docs_df, k=50, min_count=2, id_col="doc_id",
     given k/min_count WOULD cut -- without touching any text. Plan: the
     shared one-shuffle window-hash stage + one lag window per doc for
     the run merge (narrow per-doc partitions)."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    if hash_mode not in ("rolling", "md5"):
-        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     _, removed = _removed_window_positions(
         docs_df, k, min_count, id_col, text_col, hash_mode
     )
@@ -1457,10 +1458,6 @@ def duplicated_span_dedup(docs_df, k=50, min_count=2, id_col="doc_id",
     words have no windows and pass through byte-identical.
 
     Returns (id, text_clean, n_words, n_dropped)."""
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    if hash_mode not in ("rolling", "md5"):
-        raise ValueError(f"unknown hash_mode: {hash_mode!r}")
     null_rows = docs_df.filter(F.col(text_col).isNull()).select(
         F.col(id_col),
         F.lit(None).cast("string").alias("text_clean"),

@@ -2808,10 +2808,12 @@ def test_duplicated_spans_table_within_doc_and_parity(spark):
         "doc_id long, text string",
     )
     for mode in ("rolling", "md5"):
-        spans = duplicated_spans_table(docs, k=4, hash_mode=mode)
+        rows = duplicated_spans_table(
+            docs, k=4, hash_mode=mode
+        ).collect()  # collect ONCE; derive both views locally
         got = {
             (r["doc_id"], r["span_start"], r["span_end"])
-            for r in spans.collect()
+            for r in rows
         }
         # doc 1: second in-doc occurrence at words 11..19; doc 2: its
         # copy of the phrase at words 7..15 (doc 1's first occurrence
@@ -2820,7 +2822,7 @@ def test_duplicated_spans_table_within_doc_and_parity(spark):
         assert (2, 7, 15) in got
         assert all(d != 3 for d, _, _ in got)
         per_doc = {}
-        for r in spans.collect():
+        for r in rows:
             per_doc[r["doc_id"]] = (
                 per_doc.get(r["doc_id"], 0) + r["span_words"]
             )
