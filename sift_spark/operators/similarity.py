@@ -339,3 +339,104 @@ def embedding_near_duplicates(emb_df, min_cosine=0.95, n_planes=10, seed=42,
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def embedding_seen_matches(new_emb, seen_emb, min_cosine=0.95,
+                           n_planes=10, seed=42, id_col="vec_id",
+                           vec_col="embedding", dim=None,
+                           max_bucket_size=None, observation=None):
+    """INCREMENTAL embedding near-dup: (new_id, seen_id, cosine) pairs
+    between a new batch and a PRIOR corpus represented by its persisted
+    embedding table -- the embedding-family analogue of
+    dedup.minhash_seen_matches, completing the weekly-crawl seen loop
+    across all three dedup families (exact hashes / minhash / vectors).
+    Snapshot = `emb_df.select(id, embedding)` written each run and
+    unioned week over week (dim x 8 bytes per historical doc -- 512 B
+    at dim 64, the same order as the 256 B minhash snapshot), and
+    unlike minhash the verification is EXACT cosine, because the
+    snapshot carries the vectors themselves.
+
+    Plan: both sides bucket narrowly on the SAME seed-deterministic
+    hyperplanes, equi-join on the bucket (the in-batch
+    embedding_near_duplicates shape -- never all-pairs), exact-cosine
+    verify. max_bucket_size caps the SEEN side's hot buckets (the
+    corpus-sized one), observable via `observation` (same metrics as
+    the minhash cap). Recall is bounded by single-bucket LSH exactly
+    as in-batch: near-identical vectors land in the same bucket with
+    high probability at high min_cosine.
+
+    Pass `dim` explicitly in production; both sides must share it (the
+    planes are a pure function of (dim, n_planes, seed), so a mismatch
+    is probed and raised, not silently mismatched)."""
+    from pyspark.sql import Window
+
+    def _probe_dim(df):
+        first = df.select(vec_col).first()
+        return None if first is None else len(first[vec_col])
+
+    new_dim = _probe_dim(new_emb)
+    if new_dim is None:
+        return new_emb.sparkSession.createDataFrame(
+            [], "new_id long, seen_id long, cosine double"
+        )
+    seen_dim = _probe_dim(seen_emb)
+    if seen_dim is None:
+        return new_emb.sparkSession.createDataFrame(
+            [], "new_id long, seen_id long, cosine double"
+        )
+    dim = dim or new_dim
+    if new_dim != dim or seen_dim != dim:
+        raise ValueError(
+            f"embedding widths disagree: new={new_dim} seen={seen_dim} "
+            f"dim={dim} -- snapshot writer and reader must share the "
+            "embedding space"
+        )
+    planes = make_hyperplanes(dim, n_planes, seed)
+
+    def bucketed(df, out_id):
+        vec = F.col(vec_col).cast("array<double>")
+        return df.select(
+            F.col(id_col).alias(out_id), vec.alias(f"_v_{out_id}"),
+            hyperplane_bucket_col(vec, planes).alias("bucket"),
+        )
+
+    new_b = bucketed(new_emb, "new_id")
+    seen_b = bucketed(seen_emb, "seen_id")
+    if max_bucket_size:
+        from .dedup import _observe_cap
+
+        sizes = Window.partitionBy("bucket")
+        sized = seen_b.withColumn("_bucket_n", F.count("*").over(sizes))
+        seen_b = (
+            _observe_cap(sized, observation, max_bucket_size)
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    return (
+        new_b.join(seen_b, "bucket")
+        .select(
+            "new_id", "seen_id",
+            F.round(
+                cosine_col(F.col("_v_new_id"), F.col("_v_seen_id")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def dedup_against_seen_embedding(new_emb, seen_emb, min_cosine=0.95,
+                                 n_planes=10, seed=42, id_col="vec_id",
+                                 vec_col="embedding", dim=None,
+                                 max_bucket_size=1000, observation=None):
+    """Drop new-batch rows whose embedding is a near-duplicate of the
+    prior corpus snapshot (see embedding_seen_matches). Composes with
+    dedup.dedup_against_seen (exact) and dedup.dedup_against_seen_minhash
+    (text near-dup) as the third seen-loop family."""
+    matches = embedding_seen_matches(
+        new_emb, seen_emb, min_cosine, n_planes, seed, id_col, vec_col,
+        dim, max_bucket_size, observation,
+    )
+    drop_ids = matches.select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    return new_emb.join(drop_ids, id_col, "left_anti")

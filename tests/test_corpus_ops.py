@@ -2834,3 +2834,79 @@ def test_duplicated_spans_table_within_doc_and_parity(spark):
         }
         for d in (1, 2, 3):
             assert per_doc.get(d, 0) == dropped[d], (mode, d)
+
+
+def test_embedding_against_seen_two_week_loop(spark):
+    """The embedding seen-loop (third dedup family next to exact hashes
+    and minhash): week-2 vectors near-identical to the week-1 snapshot
+    are dropped; fresh directions survive; an empty snapshot is a
+    no-op."""
+    from sift_spark.operators.similarity import (
+        dedup_against_seen_embedding,
+        embedding_seen_matches,
+    )
+
+    week1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    week2 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),      # exact re-ship of 1
+            (11, [0.0, 0.999, 0.04, 0.0]),   # near-dup of 2
+            (12, [0.0, 0.0, 1.0, 0.0]),      # fresh direction
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    matches = {
+        (r["new_id"], r["seen_id"]): r["cosine"]
+        for r in embedding_seen_matches(
+            week2, week1, min_cosine=0.95
+        ).collect()
+    }
+    assert matches.get((10, 1)) == pytest.approx(1.0)
+    assert (11, 2) in matches
+    assert not any(n == 12 for n, _ in matches)
+
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_against_seen_embedding(
+            week2, week1, min_cosine=0.95
+        ).collect()
+    )
+    assert kept == [12]
+
+    empty = week1.filter(F.col("vec_id") < 0)
+    assert sorted(
+        r["vec_id"]
+        for r in dedup_against_seen_embedding(
+            week2, empty, min_cosine=0.95
+        ).collect()
+    ) == [10, 11, 12]
+
+
+def test_embedding_against_seen_dim_mismatch_raises(spark):
+    from sift_spark.operators.similarity import embedding_seen_matches
+
+    new = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    seen = spark.createDataFrame(
+        [(2, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="widths disagree"):
+        embedding_seen_matches(new, seen)
+
+
+def test_embedding_against_seen_plan_is_bucket_equijoin(spark):
+    """The seen join must be a bucket equi-join, never a cartesian."""
+    from sift_spark.operators.similarity import embedding_seen_matches
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_seen_matches(emb, emb, min_cosine=0.95)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
