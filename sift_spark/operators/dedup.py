@@ -1187,6 +1187,74 @@ def simhash_pairs_from_hashes(hashed, max_hamming=3, id_col="doc_id",
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def simhash_seen_matches(new_hashed, seen_hashed, max_hamming=3,
+                         id_col="doc_id", max_bucket_size=1000,
+                         observation=None):
+    """INCREMENTAL simhash near-dup: (new_id, seen_id, hamming) pairs
+    between a new batch's (id, simhash) table and a PRIOR corpus
+    represented only by ITS persisted (id, simhash) table -- the
+    CHEAPEST seen snapshot of the family (8 bytes + id per historical
+    doc, vs ~256 B minhash signatures and ~512 B embeddings).
+
+    Same 16-bit-chunk pigeonhole blocking as the in-batch
+    simhash_pairs_from_hashes (lossless for max_hamming <= 3), applied
+    cross-table: both sides block narrowly, equi-join on
+    (chunk_idx, chunk_val), exact Hamming verify via native bit_count.
+    max_bucket_size caps the SEEN side's hot chunk values (the
+    corpus-sized one), observable via `observation`."""
+    new_b = (
+        _simhash_blocks(new_hashed, id_col)
+        .withColumnRenamed(id_col, "new_id")
+        .withColumnRenamed("simhash", "_sh_new")
+    )
+    seen_b = (
+        _simhash_blocks(seen_hashed, id_col)
+        .withColumnRenamed(id_col, "seen_id")
+        .withColumnRenamed("simhash", "_sh_seen")
+    )
+    if max_bucket_size:
+        sizes = Window.partitionBy("chunk_idx", "chunk_val")
+        sized = seen_b.withColumn("_bucket_n", F.count("*").over(sizes))
+        seen_b = (
+            _observe_cap(sized, observation, max_bucket_size)
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    return (
+        new_b.join(seen_b, ["chunk_idx", "chunk_val"])
+        .select(
+            "new_id", "seen_id",
+            F.bit_count(
+                F.col("_sh_new").bitwiseXOR(F.col("_sh_seen"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_against_seen_simhash(docs_df, seen_hashed, max_hamming=3,
+                               id_col="doc_id", text_col="text",
+                               max_bucket_size=1000, observation=None):
+    """Drop new-batch documents whose simhash is within `max_hamming`
+    bits of a prior corpus snapshot (a persisted (id, simhash) table --
+    write `docs.select(id, simhash64_udf(text))` each run; union
+    successive sinks to accumulate). The fourth seen-loop family next
+    to dedup_against_seen (exact), dedup_against_seen_minhash (text
+    near-dup) and similarity.dedup_against_seen_embedding (vectors)."""
+    hashed = docs_df.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    )
+    matches = simhash_seen_matches(
+        hashed, seen_hashed, max_hamming, id_col, max_bucket_size,
+        observation,
+    )
+    drop_ids = matches.select(
+        F.col("new_id").alias(id_col)
+    ).distinct()
+    return docs_df.join(drop_ids, id_col, "left_anti")
+
+
 def simhash_near_duplicates(docs_df, max_hamming=3, id_col="doc_id",
                             text_col="text", max_bucket_size=1000,
                             observation=None):

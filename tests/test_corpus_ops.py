@@ -2910,3 +2910,76 @@ def test_embedding_against_seen_plan_is_bucket_equijoin(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_against_seen_two_week_loop(spark):
+    """The simhash seen-loop (fourth family; cheapest snapshot -- one
+    int64 per historical doc): week-2 re-ships and near-identical
+    edits are dropped against the persisted hash table; fresh docs
+    survive; empty snapshot is a no-op."""
+    from sift_spark.operators.dedup import (
+        dedup_against_seen_simhash,
+        simhash64_udf,
+        simhash_seen_matches,
+    )
+
+    base = " ".join(f"token{i}" for i in range(60))
+    near = base.replace("token7 ", "token7x ")
+    fresh = " ".join(f"other{i}" for i in range(60))
+    week1 = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"w1only{i}" for i in range(40)))],
+        ["doc_id", "text"],
+    )
+    seen = week1.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+    )
+    week2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, fresh)], ["doc_id", "text"]
+    )
+    new_hashed = week2.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+    )
+    matches = {
+        (r["new_id"], r["seen_id"]): r["hamming"]
+        for r in simhash_seen_matches(
+            new_hashed, seen, max_hamming=6
+        ).collect()
+    }
+    assert matches.get((10, 1)) == 0
+    assert (11, 1) in matches and matches[(11, 1)] <= 6
+    assert not any(n == 12 for n, _ in matches)
+
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup_against_seen_simhash(
+            week2, seen, max_hamming=6
+        ).collect()
+    )
+    assert kept == [12]
+
+    empty = seen.filter(F.col("doc_id") < 0)
+    assert sorted(
+        r["doc_id"]
+        for r in dedup_against_seen_simhash(
+            week2, empty, max_hamming=6
+        ).collect()
+    ) == [10, 11, 12]
+
+
+def test_simhash_against_seen_plan_is_chunk_equijoin(spark):
+    from sift_spark.operators.dedup import (
+        simhash64_udf,
+        simhash_seen_matches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    hashed = docs.select(
+        "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+    )
+    pairs = simhash_seen_matches(hashed, hashed, max_hamming=3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
