@@ -489,6 +489,24 @@ def _observe_cap(df, observation, max_bucket_size):
     )
 
 
+def cap_seen_buckets(df, keys, max_bucket_size, observation=None):
+    """ONE copy of the seen-side hot-bucket cap used by every
+    *_seen_matches function (minhash bands, simhash chunks, embedding
+    buckets): count rows per `keys` bucket with a window, observe the
+    drop metrics on the single retained branch, filter, drop the
+    helper. A falsy max_bucket_size disables the cap (and with it the
+    observation -- same contract as the in-batch forms)."""
+    if not max_bucket_size:
+        return df
+    sizes = Window.partitionBy(*keys)
+    sized = df.withColumn("_bucket_n", F.count("*").over(sizes))
+    return (
+        _observe_cap(sized, observation, max_bucket_size)
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
+
+
 def lsh_candidate_pairs(sig_df, n_bands=8, id_col="doc_id",
                         max_bucket_size=None, n_hashes=None,
                         observation=None):
@@ -691,18 +709,11 @@ def minhash_seen_matches(new_sigs, seen_sigs, n_bands=8, n_hashes=None,
         )
     new_bands = _band_table(new_sigs, n_bands, n_hashes, id_col) \
         .withColumnRenamed(id_col, "new_id")
-    seen_bands = _band_table(seen_sigs, n_bands, n_hashes, id_col) \
-        .withColumnRenamed(id_col, "seen_id")
-    if max_bucket_size:
-        sizes = Window.partitionBy("band_idx", "band_hash")
-        sized = seen_bands.withColumn(
-            "_bucket_n", F.count("*").over(sizes)
-        )
-        seen_bands = (
-            _observe_cap(sized, observation, max_bucket_size)
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
+    seen_bands = cap_seen_buckets(
+        _band_table(seen_sigs, n_bands, n_hashes, id_col)
+        .withColumnRenamed(id_col, "seen_id"),
+        ("band_idx", "band_hash"), max_bucket_size, observation,
+    )
     candidates = (
         new_bands.join(seen_bands, ["band_idx", "band_hash"])
         .select("new_id", "seen_id")
@@ -1207,19 +1218,12 @@ def simhash_seen_matches(new_hashed, seen_hashed, max_hamming=3,
         .withColumnRenamed(id_col, "new_id")
         .withColumnRenamed("simhash", "_sh_new")
     )
-    seen_b = (
+    seen_b = cap_seen_buckets(
         _simhash_blocks(seen_hashed, id_col)
         .withColumnRenamed(id_col, "seen_id")
-        .withColumnRenamed("simhash", "_sh_seen")
+        .withColumnRenamed("simhash", "_sh_seen"),
+        ("chunk_idx", "chunk_val"), max_bucket_size, observation,
     )
-    if max_bucket_size:
-        sizes = Window.partitionBy("chunk_idx", "chunk_val")
-        sized = seen_b.withColumn("_bucket_n", F.count("*").over(sizes))
-        seen_b = (
-            _observe_cap(sized, observation, max_bucket_size)
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
     return (
         new_b.join(seen_b, ["chunk_idx", "chunk_val"])
         .select(

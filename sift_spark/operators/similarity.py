@@ -365,53 +365,68 @@ def embedding_seen_matches(new_emb, seen_emb, min_cosine=0.95,
     as in-batch: near-identical vectors land in the same bucket with
     high probability at high min_cosine.
 
-    Pass `dim` explicitly in production; both sides must share it (the
-    planes are a pure function of (dim, n_planes, seed), so a mismatch
-    is probed and raised, not silently mismatched)."""
-    from pyspark.sql import Window
+    Pass `dim` explicitly in production -- the call then stays FULLY
+    LAZY (no driver probes); omitting it triggers one ad-hoc
+    first()-probe on the new batch to learn the width (the
+    embedding_near_duplicates convention). Either way, EVERY row of
+    BOTH sides is width-asserted inside the plan (raise_error on the
+    executors), so a mixed-width snapshot -- e.g. weekly sinks unioned
+    across an embedding-model change -- fails the job loudly instead
+    of null-padding cosines and silently re-admitting near-duplicates.
+    Rows with NULL embeddings are unmatchable and pass through to
+    neither side (they can never be dropped as duplicates)."""
+    if dim is None:
+        first = (
+            new_emb.filter(F.col(vec_col).isNotNull())
+            .select(vec_col).first()
+        )
+        if first is None:  # no usable new vectors -> no matches
+            from pyspark.sql import types as T
 
-    def _probe_dim(df):
-        first = df.select(vec_col).first()
-        return None if first is None else len(first[vec_col])
-
-    new_dim = _probe_dim(new_emb)
-    if new_dim is None:
-        return new_emb.sparkSession.createDataFrame(
-            [], "new_id long, seen_id long, cosine double"
-        )
-    seen_dim = _probe_dim(seen_emb)
-    if seen_dim is None:
-        return new_emb.sparkSession.createDataFrame(
-            [], "new_id long, seen_id long, cosine double"
-        )
-    dim = dim or new_dim
-    if new_dim != dim or seen_dim != dim:
-        raise ValueError(
-            f"embedding widths disagree: new={new_dim} seen={seen_dim} "
-            f"dim={dim} -- snapshot writer and reader must share the "
-            "embedding space"
-        )
+            idt = next(
+                f.dataType for f in new_emb.schema.fields
+                if f.name.lower() == id_col.lower()
+            )
+            return new_emb.sparkSession.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("new_id", idt),
+                    T.StructField("seen_id", idt),
+                    T.StructField("cosine", T.DoubleType()),
+                ]),
+            )
+        dim = len(first[vec_col])
     planes = make_hyperplanes(dim, n_planes, seed)
 
     def bucketed(df, out_id):
         vec = F.col(vec_col).cast("array<double>")
+        # per-row width assertion INSIDE the plan: a wrong-width row
+        # raises on the executor (null vecs fall through to the
+        # otherwise branch as null -> null bucket -> unmatchable)
+        checked = F.when(
+            F.size(vec) != dim,
+            F.raise_error(F.concat(
+                F.lit(f"embedding width != dim={dim} (got "),
+                F.size(vec).cast("string"),
+                F.lit(") -- snapshot writer and reader must share "
+                      "the embedding space"),
+            )).cast("array<double>"),
+        ).otherwise(vec)
         return df.select(
-            F.col(id_col).alias(out_id), vec.alias(f"_v_{out_id}"),
-            hyperplane_bucket_col(vec, planes).alias("bucket"),
+            F.col(id_col).alias(out_id),
+            checked.alias(f"_v_{out_id}"),
+        ).withColumn(
+            "bucket",
+            hyperplane_bucket_col(F.col(f"_v_{out_id}"), planes),
         )
+
+    from .dedup import cap_seen_buckets
 
     new_b = bucketed(new_emb, "new_id")
-    seen_b = bucketed(seen_emb, "seen_id")
-    if max_bucket_size:
-        from .dedup import _observe_cap
-
-        sizes = Window.partitionBy("bucket")
-        sized = seen_b.withColumn("_bucket_n", F.count("*").over(sizes))
-        seen_b = (
-            _observe_cap(sized, observation, max_bucket_size)
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
+    seen_b = cap_seen_buckets(
+        bucketed(seen_emb, "seen_id"), ("bucket",), max_bucket_size,
+        observation,
+    )
     return (
         new_b.join(seen_b, "bucket")
         .select(

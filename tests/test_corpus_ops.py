@@ -2885,17 +2885,57 @@ def test_embedding_against_seen_two_week_loop(spark):
     ) == [10, 11, 12]
 
 
-def test_embedding_against_seen_dim_mismatch_raises(spark):
-    from sift_spark.operators.similarity import embedding_seen_matches
+def test_embedding_against_seen_width_asserted_in_plan(spark):
+    """Width mismatches raise PER ROW inside the plan (review r7 pass
+    4: a first-row probe would let a mixed-width unioned snapshot
+    silently null-pad cosines and re-admit near-duplicates); null
+    embeddings are unmatchable pass-throughs, never crashes."""
+    from sift_spark.operators.similarity import (
+        dedup_against_seen_embedding,
+        embedding_seen_matches,
+    )
 
     new = spark.createDataFrame(
-        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        [(1, [1.0, 0.0]), (2, None)],
+        "vec_id long, embedding array<float>",
     )
     seen = spark.createDataFrame(
-        [(2, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+        [(3, [1.0, 0.0]), (4, [1.0, 0.0, 0.0])],  # mixed widths
+        "vec_id long, embedding array<float>",
     )
-    with pytest.raises(ValueError, match="widths disagree"):
-        embedding_seen_matches(new, seen)
+    with pytest.raises(Exception, match="embedding width"):
+        embedding_seen_matches(new, seen).collect()
+    # clean widths: the null-vec new row survives (unmatchable)
+    clean_seen = seen.filter(F.col("vec_id") == 3)
+    kept = sorted(
+        r["vec_id"]
+        for r in dedup_against_seen_embedding(
+            new, clean_seen, min_cosine=0.95
+        ).collect()
+    )
+    assert kept == [2]  # 1 matched seen 3 exactly; null row kept
+
+
+def test_embedding_against_seen_lazy_with_dim_and_typed_empty(spark):
+    """Passing dim keeps the call fully lazy (no driver probe jobs);
+    the empty-new early return carries the id column's REAL type."""
+    from sift_spark.operators.similarity import embedding_seen_matches
+
+    week1 = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    embedding_seen_matches(week1, week1, dim=4)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert before == after  # plan-building ran zero Spark jobs
+    s_new = spark.createDataFrame([], "vec_id string, embedding array<float>")
+    s_seen = week1.select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    out = embedding_seen_matches(s_new, s_seen)
+    assert out.schema["new_id"].dataType.simpleString() == "string"
+    assert out.count() == 0
 
 
 def test_embedding_against_seen_plan_is_bucket_equijoin(spark):
