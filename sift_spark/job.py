@@ -148,6 +148,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                      seen_bloom=False,
                      seen_sigs_df=None, write_sigs=False,
                      sig_jaccard=0.5,
+                     seen_simhash_df=None, write_simhash=False,
+                     simhash_max_hamming=3,
                      lm_model=None, max_ppl=0.0,
                      clf_model=None, min_clf_score=0.0,
                      dsir_target_df=None, dsir_k=0, dsir_seed=0):
@@ -194,7 +196,16 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     new-batch docs whose signature-estimated jaccard against any
     already-shipped doc reaches sig_jaccard (stage
     `after_seen_neardup`) -- re-crawled content with small edits that
-    the exact hash loop misses."""
+    the exact hash loop misses.
+
+    seen_simhash_df / write_simhash are the third (cheapest) seen
+    family: write_simhash persists one (doc_id, simhash) int64 row per
+    curated doc to `output_dir + "_simhash"`; feeding it back drops
+    new-batch docs within simhash_max_hamming bits of already-shipped
+    content (stage `after_seen_simhash`). All three loops compose --
+    exact catches re-crawls byte-for-byte, simhash catches
+    whitespace/near-identical variants for 8 bytes/doc, minhash
+    catches edited near-duplicates with a tunable jaccard gate."""
     from pyspark.sql import Observation
 
     from .operators.dedup import dedup_exact, duplicated_span_dedup
@@ -317,6 +328,24 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                                        min_est_jaccard=sig_jaccard,
                                        observation=seen_cap_obs),
             "after_seen_neardup",
+        )
+    if seen_simhash_df is not None:
+        # cheapest seen family: one int64 per historical doc; catches
+        # near-identical variants (whitespace/punctuation edits) the
+        # exact loop misses at a fraction of the minhash snapshot cost
+        from .operators.dedup import (
+            bucket_cap_observation,
+            dedup_against_seen_simhash,
+        )
+
+        simhash_cap_obs = bucket_cap_observation(
+            "curate_seen_simhash_cap"
+        )
+        curated = observed(
+            dedup_against_seen_simhash(curated, seen_simhash_df,
+                                       max_hamming=simhash_max_hamming,
+                                       observation=simhash_cap_obs),
+            "after_seen_simhash",
         )
     if dedup:
         # dedup_exact keeps min-id per content hash via a content-hash
@@ -443,6 +472,23 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                 n_hashes=32,
             ))
         sigs.write.mode("overwrite").parquet(output_dir + "_sigs")
+    if write_simhash:
+        # simhash snapshot sink: one int64 per curated doc for the next
+        # run's --seen-simhash; union successive sinks to accumulate.
+        from .operators.dedup import simhash64_udf
+
+        sh = out.filter(F.col("text").isNotNull()).select(
+            "doc_id", simhash64_udf(F.col("text")).alias("simhash")
+        )
+        if span_persisted is not None:
+            # PRE-span hashes too (the same re-crawl gap the hash and
+            # sig snapshots close): a re-crawl arrives span-intact
+            sh = sh.unionByName(
+                span_persisted.filter(F.col("text").isNotNull())
+                .select("doc_id",
+                        simhash64_udf(F.col("text")).alias("simhash"))
+            )
+        sh.write.mode("overwrite").parquet(output_dir + "_simhash")
     if span_persisted is not None:
         # unpersist only after BOTH snapshot sinks have consumed the
         # pre-span frame (hashes + sigs); unpersisting earlier would
@@ -588,6 +634,15 @@ def curate_main(argv=None):
                              "corpus's minhash signatures, ~256 B/doc)"
                              " for the next run's --seen-sigs")
     parser.add_argument("--sig-jaccard", type=float, default=0.5)
+    parser.add_argument("--seen-simhash", default=None,
+                        help="prior snapshot's simhash parquet (a "
+                             "previous run's _simhash sink, one int64 "
+                             "per historical doc): drop new docs within "
+                             "--simhash-hamming bits of shipped content")
+    parser.add_argument("--write-simhash", action="store_true",
+                        help="write <output>_simhash for the next "
+                             "run's --seen-simhash")
+    parser.add_argument("--simhash-hamming", type=int, default=3)
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--pack-budget", type=int, default=0,
                         help="token budget per training sequence "
@@ -660,6 +715,10 @@ def curate_main(argv=None):
         seen_sigs_df=(spark.read.parquet(args.seen_sigs)
                       if args.seen_sigs else None),
         write_sigs=args.write_sigs,
+        seen_simhash_df=(spark.read.parquet(args.seen_simhash)
+                         if args.seen_simhash else None),
+        write_simhash=args.write_simhash,
+        simhash_max_hamming=args.simhash_hamming,
         sig_jaccard=args.sig_jaccard,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())
@@ -958,6 +1017,15 @@ def crawl_curate_main(argv=None):
                              "--seen-sigs)")
     parser.add_argument("--write-sigs", action="store_true")
     parser.add_argument("--sig-jaccard", type=float, default=0.5)
+    parser.add_argument("--seen-simhash", default=None,
+                        help="prior snapshot's simhash parquet (a "
+                             "previous run's _simhash sink, one int64 "
+                             "per historical doc): drop new docs within "
+                             "--simhash-hamming bits of shipped content")
+    parser.add_argument("--write-simhash", action="store_true",
+                        help="write <output>_simhash for the next "
+                             "run's --seen-simhash")
+    parser.add_argument("--simhash-hamming", type=int, default=3)
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--span-k", type=int, default=0,
                         help="duplicated-span removal window in words "
@@ -1020,6 +1088,10 @@ def crawl_curate_main(argv=None):
         seen_sigs_df=(spark.read.parquet(args.seen_sigs)
                       if args.seen_sigs else None),
         write_sigs=args.write_sigs,
+        seen_simhash_df=(spark.read.parquet(args.seen_simhash)
+                         if args.seen_simhash else None),
+        write_simhash=args.write_simhash,
+        simhash_max_hamming=args.simhash_hamming,
         sig_jaccard=args.sig_jaccard,
     )
     stages = " ".join(f"{k}={v}" for k, v in metrics.items())

@@ -3023,3 +3023,38 @@ def test_simhash_against_seen_plan_is_chunk_equijoin(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_incremental_simhash_loop(spark, tmp_path):
+    """Two-week job-level simhash loop: --write-simhash emits the
+    <out>_simhash snapshot; week 2 feeds it back and drops the
+    near-identical (whitespace-edited) re-crawl the exact loop would
+    miss, keeping fresh docs (stage after_seen_simhash)."""
+    from sift_spark.job import run_curation_job
+
+    base = ("the quick brown fox jumps over the lazy dog and the "
+            "story continues with plenty of good english words in "
+            "sentences that pass the quality gates easily today. "
+            ) * 3
+    week1 = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    out1 = str(tmp_path / "w1")
+    run_curation_job(spark, week1, out1, min_quality=0.0,
+                     write_simhash=True)
+    snap = spark.read.parquet(out1 + "_simhash")
+    assert snap.columns == ["doc_id", "simhash"]
+    assert snap.count() == 1
+
+    near = base.replace("quick brown", "quick  brown")  # tiny edit
+    fresh = ("completely different content about glacier flow and "
+             "satellite imagery collected over seasons by the team "
+             "with plenty of good english words in real sentences. "
+             ) * 3
+    week2 = spark.createDataFrame(
+        [(10, near), (11, fresh)], ["doc_id", "text"]
+    )
+    out2 = str(tmp_path / "w2")
+    out, metrics = run_curation_job(
+        spark, week2, out2, min_quality=0.0,
+        seen_simhash_df=snap, simhash_max_hamming=6)
+    assert metrics["after_seen_simhash"] == 1
+    assert {r["doc_id"] for r in out.collect()} == {11}
