@@ -329,6 +329,13 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                                        observation=seen_cap_obs),
             "after_seen_neardup",
         )
+    if seen_simhash_df is not None and simhash_max_hamming > 3:
+        raise ValueError(
+            "simhash_max_hamming > 3 silently loses matches: the "
+            "4x16-bit chunk blocking guarantees recall only for "
+            "hamming <= 3 (pigeonhole). Use the minhash loop "
+            "(--seen-sigs) for looser similarity gates."
+        )
     if seen_simhash_df is not None:
         # cheapest seen family: one int64 per historical doc; catches
         # near-identical variants (whitespace/punctuation edits) the
@@ -488,10 +495,15 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                 .select("doc_id",
                         simhash64_udf(F.col("text")).alias("simhash"))
             )
-        sh.write.mode("overwrite").parquet(output_dir + "_simhash")
+        # distinct: span-untouched docs have identical pre/post-span
+        # rows -- without it the snapshot doubles and the seen-side
+        # bucket cap fires at half the intended distinct-doc count
+        sh.distinct().write.mode("overwrite").parquet(
+            output_dir + "_simhash"
+        )
     if span_persisted is not None:
-        # unpersist only after BOTH snapshot sinks have consumed the
-        # pre-span frame (hashes + sigs); unpersisting earlier would
+        # unpersist only after ALL THREE snapshot sinks have consumed
+        # the pre-span frame (hashes + sigs + simhash); earlier would
         # silently re-run the whole gate/redact/dedup lineage for the
         # sig pass
         span_persisted.unpersist()
@@ -571,6 +583,12 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                 seen_cap_obs.get["n_dropped_rows"]
         except Exception:
             metrics["seen_neardup_capped_band_rows"] = None
+    if seen_simhash_df is not None:
+        try:
+            metrics["seen_simhash_capped_chunk_rows"] = \
+                simhash_cap_obs.get["n_dropped_rows"]
+        except Exception:
+            metrics["seen_simhash_capped_chunk_rows"] = None
     return out, metrics
 
 

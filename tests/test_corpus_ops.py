@@ -3055,6 +3055,14 @@ def test_curation_incremental_simhash_loop(spark, tmp_path):
     out2 = str(tmp_path / "w2")
     out, metrics = run_curation_job(
         spark, week2, out2, min_quality=0.0,
-        seen_simhash_df=snap, simhash_max_hamming=6)
+        seen_simhash_df=snap, simhash_max_hamming=3)
     assert metrics["after_seen_simhash"] == 1
+    assert metrics["seen_simhash_capped_chunk_rows"] == 0
     assert {r["doc_id"] for r in out.collect()} == {11}
+
+    # the chunk blocking is lossless only for hamming <= 3: the job
+    # refuses the silent-recall-loss regime (review r7 pass 5)
+    with pytest.raises(ValueError, match="hamming"):
+        run_curation_job(spark, week2, str(tmp_path / "w3"),
+                         min_quality=0.0, seen_simhash_df=snap,
+                         simhash_max_hamming=6)
