@@ -202,7 +202,8 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     family: write_simhash persists one (doc_id, simhash) int64 row per
     curated doc to `output_dir + "_simhash"`; feeding it back drops
     new-batch docs within simhash_max_hamming bits of already-shipped
-    content (stage `after_seen_simhash`). All three loops compose --
+    content (stage `after_seen_simhash`; values > 3 are refused -- the
+    chunk blocking is lossless only for hamming <= 3). All three loops compose --
     exact catches re-crawls byte-for-byte, simhash catches
     whitespace/near-identical variants for 8 bytes/doc, minhash
     catches edited near-duplicates with a tunable jaccard gate."""
@@ -217,6 +218,16 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
     from .operators.pii import redact_pii
     from .operators.textstats import lang_id_col, quality_cols
 
+    if seen_simhash_df is not None and simhash_max_hamming > 3:
+        # pure-argument validation BEFORE any composition or action:
+        # in the crawl path this fires before hours of extraction, not
+        # after (review r7 pass 6). The operator raises too.
+        raise ValueError(
+            "simhash_max_hamming > 3 silently loses matches: the "
+            "4x16-bit chunk blocking guarantees recall only for "
+            "hamming <= 3 (pigeonhole). Use the minhash loop "
+            "(--seen-sigs) for looser similarity gates."
+        )
     observations = {}
 
     def observed(df, stage):
@@ -328,13 +339,6 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                                        min_est_jaccard=sig_jaccard,
                                        observation=seen_cap_obs),
             "after_seen_neardup",
-        )
-    if seen_simhash_df is not None and simhash_max_hamming > 3:
-        raise ValueError(
-            "simhash_max_hamming > 3 silently loses matches: the "
-            "4x16-bit chunk blocking guarantees recall only for "
-            "hamming <= 3 (pigeonhole). Use the minhash loop "
-            "(--seen-sigs) for looser similarity gates."
         )
     if seen_simhash_df is not None:
         # cheapest seen family: one int64 per historical doc; catches
@@ -477,7 +481,10 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
                     span_persisted.filter(F.col("text").isNotNull()),
                     distinct=False),
                 n_hashes=32,
-            ))
+            )).distinct()
+            # distinct: span-untouched docs emit identical pre/post
+            # rows -- doubled band rows would halve the effective
+            # seen-side bucket cap next run (review r7 pass 6)
         sigs.write.mode("overwrite").parquet(output_dir + "_sigs")
     if write_simhash:
         # simhash snapshot sink: one int64 per curated doc for the next
@@ -489,18 +496,18 @@ def run_curation_job(spark, docs_df, output_dir, lang="en",
         )
         if span_persisted is not None:
             # PRE-span hashes too (the same re-crawl gap the hash and
-            # sig snapshots close): a re-crawl arrives span-intact
+            # sig snapshots close): a re-crawl arrives span-intact.
+            # distinct: span-untouched docs have identical pre/post
+            # rows -- without it the snapshot doubles and the seen
+            # bucket cap fires at half the intended distinct-doc
+            # count. Only the union branch can duplicate, so only it
+            # pays the distinct shuffle.
             sh = sh.unionByName(
                 span_persisted.filter(F.col("text").isNotNull())
                 .select("doc_id",
                         simhash64_udf(F.col("text")).alias("simhash"))
-            )
-        # distinct: span-untouched docs have identical pre/post-span
-        # rows -- without it the snapshot doubles and the seen-side
-        # bucket cap fires at half the intended distinct-doc count
-        sh.distinct().write.mode("overwrite").parquet(
-            output_dir + "_simhash"
-        )
+            ).distinct()
+        sh.write.mode("overwrite").parquet(output_dir + "_simhash")
     if span_persisted is not None:
         # unpersist only after ALL THREE snapshot sinks have consumed
         # the pre-span frame (hashes + sigs + simhash); earlier would
@@ -660,7 +667,11 @@ def curate_main(argv=None):
     parser.add_argument("--write-simhash", action="store_true",
                         help="write <output>_simhash for the next "
                              "run's --seen-simhash")
-    parser.add_argument("--simhash-hamming", type=int, default=3)
+    parser.add_argument("--simhash-hamming", type=int, default=3,
+                        help="max differing bits vs the snapshot "
+                             "(hard cap 3: the chunk blocking is "
+                             "lossless only there; use --seen-sigs "
+                             "for looser gates)")
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--pack-budget", type=int, default=0,
                         help="token budget per training sequence "
@@ -1043,7 +1054,11 @@ def crawl_curate_main(argv=None):
     parser.add_argument("--write-simhash", action="store_true",
                         help="write <output>_simhash for the next "
                              "run's --seen-simhash")
-    parser.add_argument("--simhash-hamming", type=int, default=3)
+    parser.add_argument("--simhash-hamming", type=int, default=3,
+                        help="max differing bits vs the snapshot "
+                             "(hard cap 3: the chunk blocking is "
+                             "lossless only there; use --seen-sigs "
+                             "for looser gates)")
     parser.add_argument("--ngram", type=int, default=13)
     parser.add_argument("--span-k", type=int, default=0,
                         help="duplicated-span removal window in words "

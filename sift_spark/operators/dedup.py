@@ -1212,7 +1212,20 @@ def simhash_seen_matches(new_hashed, seen_hashed, max_hamming=3,
     cross-table: both sides block narrowly, equi-join on
     (chunk_idx, chunk_val), exact Hamming verify via native bit_count.
     max_bucket_size caps the SEEN side's hot chunk values (the
-    corpus-sized one), observable via `observation`."""
+    corpus-sized one), observable via `observation`.
+
+    max_hamming > 3 is REFUSED: past the pigeonhole bound the chunk
+    join silently loses matches (a 4-bit difference can spread one bit
+    per chunk), which in a seen loop means shipped near-duplicates
+    re-enter the corpus -- the minhash loop is the looser-similarity
+    tool. (The in-batch simhash_near_duplicates keeps > 3 as an
+    explicitly approximate mode; the seen boundary does not.)"""
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 silently loses matches (chunk blocking "
+            "is lossless only for <= 3 differing bits); use the "
+            "minhash seen loop for looser similarity gates"
+        )
     new_b = (
         _simhash_blocks(new_hashed, id_col)
         .withColumnRenamed(id_col, "new_id")

@@ -2982,17 +2982,21 @@ def test_simhash_against_seen_two_week_loop(spark):
     matches = {
         (r["new_id"], r["seen_id"]): r["hamming"]
         for r in simhash_seen_matches(
-            new_hashed, seen, max_hamming=6
+            new_hashed, seen, max_hamming=3
         ).collect()
     }
     assert matches.get((10, 1)) == 0
-    assert (11, 1) in matches and matches[(11, 1)] <= 6
+    assert (11, 1) in matches and matches[(11, 1)] <= 3
+    # past the pigeonhole bound the seen boundary refuses (silent
+    # recall loss); the in-batch form keeps >3 as approximate mode
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_seen_matches(new_hashed, seen, max_hamming=6)
     assert not any(n == 12 for n, _ in matches)
 
     kept = sorted(
         r["doc_id"]
         for r in dedup_against_seen_simhash(
-            week2, seen, max_hamming=6
+            week2, seen, max_hamming=3
         ).collect()
     )
     assert kept == [12]
@@ -3001,7 +3005,7 @@ def test_simhash_against_seen_two_week_loop(spark):
     assert sorted(
         r["doc_id"]
         for r in dedup_against_seen_simhash(
-            week2, empty, max_hamming=6
+            week2, empty, max_hamming=3
         ).collect()
     ) == [10, 11, 12]
 
