@@ -259,12 +259,15 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
     (hash-deterministic sampling for the 100 TB tier).
 
     distinct=True gives SET semantics (needed for exact Jaccard);
-    distinct=False keeps the raw multiset AND the narrow plan -- no
-    shuffle at all. Min-hash is multiset-invariant (min over duplicates
-    is unchanged), so the signature branch uses distinct=False: at crawl
-    scale the global distinct of the shingle table is the single
-    biggest shuffle in the dedup pipeline and the signatures never
-    needed it."""
+    distinct=False keeps the raw multiset. BOTH forms are now fully
+    narrow -- no shuffle at all: set semantics come from a per-document
+    array_distinct on the shingle array BEFORE the explode, which is
+    exactly the global distinct when `id_col` is unique per input row
+    (the documents-table grain everywhere in this engine). The old
+    global `.distinct()` was the single biggest shuffle in the dedup
+    pipeline at crawl scale (measured at sf1.0/local[32]: a 138 MB
+    exchange of the exploded shingle table, paid once per consuming
+    branch because column-renamed subtrees defeat exchange reuse)."""
     # materialize the normalized text ONCE per row: referencing the
     # expression inside the transform lambda would re-evaluate the
     # regexp_replace per array element (~doc_len regex calls per doc)
@@ -275,19 +278,42 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))
     )
-    shingles = normalized.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(positions, lambda i: t.substr(i, F.lit(k)))
-        ).alias("shingle"),
-    )
+    arr = F.transform(positions, lambda i: t.substr(i, F.lit(k)))
     if distinct:
-        shingles = shingles.distinct()
+        arr = F.array_distinct(arr)
+    shingles = normalized.select(
+        F.col(id_col), F.explode(arr).alias("shingle")
+    )
     if sample_mod:
         shingles = shingles.filter(
             F.pmod(F.xxhash64("shingle"), F.lit(sample_mod)) == 0
         )
     return shingles
+
+
+def char_shingle_arrays(docs_df, k=8, id_col="doc_id", text_col="text",
+                        sample_mod=None):
+    """(id, shingle_arr): each document's DISTINCT k-char shingle SET as
+    one array row -- the un-exploded twin of char_shingles(distinct=True),
+    fully narrow. The exact-Jaccard verify consumes this form: candidate
+    pairs join two array rows and intersect them natively
+    (array_intersect), so the verify never explodes, never re-aggregates
+    n_common, and computes both set sizes in-row."""
+    normalized = docs_df.select(
+        F.col(id_col), normalized_text_col(F.col(text_col)).alias("_t")
+    )
+    t = F.col("_t")
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))
+    )
+    arr = F.array_distinct(
+        F.transform(positions, lambda i: t.substr(i, F.lit(k)))
+    )
+    if sample_mod:
+        arr = F.filter(
+            arr, lambda s: F.pmod(F.xxhash64(s), F.lit(sample_mod)) == 0
+        )
+    return normalized.select(F.col(id_col), arr.alias("shingle_arr"))
 
 
 def word_ngram_array(text_col, n, skip_short=False):
@@ -319,12 +345,14 @@ def word_ngram_array(text_col, n, skip_short=False):
 def word_ngrams(docs_df, n=3, id_col="doc_id", text_col="text",
                 skip_short=False):
     """(id, ngram) DISTINCT word n-grams, native: split -> sliding
-    window via sequence/transform -> explode (see word_ngram_array for
-    the short-document semantics switch)."""
+    window via sequence/transform -> per-doc array_distinct -> explode
+    (see word_ngram_array for the short-document semantics switch).
+    Set semantics without a global distinct shuffle -- exact when
+    `id_col` is unique per input row (the documents-table grain)."""
     grams = word_ngram_array(text_col, n, skip_short=skip_short)
     return docs_df.select(
-        F.col(id_col), F.explode(grams).alias("ngram")
-    ).distinct()
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("ngram")
+    )
 
 
 def md5_hash60(col):
@@ -590,6 +618,17 @@ def jaccard_pairs(shingles_df, id_col="doc_id", min_jaccard=0.0,
         sh_b = shingles_df.select(
             F.col(id_col).alias("id_b"), F.col("shingle")
         )
+        # pre-filter the b side to docs that actually appear in a
+        # candidate pair BEFORE the (id_b, shingle) equi-join shuffles
+        # it (guide-standard semi-join reduction): candidates are a
+        # small fraction of the corpus, so this cuts the verify stage's
+        # only corpus-sized exchange to the candidate docs' shingles
+        # (measured at sf1.0/local[32]: 138 MB -> ~7 MB). The a side
+        # needs no filter -- AQE broadcasts the candidate pairs and the
+        # join itself drops non-candidates before any exchange.
+        sh_b = sh_b.join(
+            candidates.select("id_b").distinct(), "id_b", "left_semi"
+        )
         common = (
             candidates.join(sh_a, "id_a")
             .join(sh_b, ["id_b", "shingle"])
@@ -641,29 +680,65 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
     """Full MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
     bucket-join -> exact-jaccard verify.
 
-    Two branches off the shingle explode: the SIGNATURE branch uses the
-    raw multiset (min-hash is multiset-invariant) so it is explode ->
-    map-side partial min-agg with NO distinct shuffle -- at crawl scale
-    that distinct is the pipeline's biggest shuffle and the signatures
-    never needed it. The VERIFY branch (exact Jaccard) keeps set
-    semantics via its own distinct, paid only once.
+    Two branches off the shingle stage: the SIGNATURE branch uses the
+    raw multiset explode (min-hash is multiset-invariant) -- explode ->
+    map-side partial min-agg, ONE cheap shuffle. The VERIFY branch
+    (exact Jaccard) never explodes at all: each candidate pair joins
+    the two documents' per-doc DISTINCT shingle ARRAYS
+    (char_shingle_arrays, fully narrow) and n_common / both set sizes
+    are native array math in-row -- no global distinct shuffle, no
+    (id, shingle) join, no n_common re-aggregation. Both array sides
+    are semi-join pre-filtered to ids that actually appear in a
+    candidate pair, so only candidate documents' shingle sets ever
+    shuffle, and the pair joins carry SHUFFLE_HASH hints: the narrow
+    array chain's static size estimate is the parquet scan's (~16x
+    low at sf1.0), which otherwise makes the planner BROADCAST the
+    corpus-sized array table -- a driver collect of the biggest
+    intermediate in the pipeline.
 
     persist_shingles trades block-store IO for recompute; measured at
-    sf0.1/local[32]: recompute wins (the explode is narrow and cheap) --
-    knob stays off by default. max_bucket_size defaults ON (1000): the
-    guard that keeps hot boilerplate buckets from exploding
+    sf0.1/local[32]: recompute wins (the shingle stage is narrow and
+    cheap) -- knob stays off by default. max_bucket_size defaults ON
+    (1000): the guard that keeps hot boilerplate buckets from exploding
     quadratically at crawl scale."""
     raw = char_shingles(docs_df, k, id_col, text_col, sample_mod,
                         distinct=False)
-    shingle_sets = char_shingles(docs_df, k, id_col, text_col, sample_mod)
+    arrays = char_shingle_arrays(docs_df, k, id_col, text_col, sample_mod)
     if persist_shingles:
-        shingle_sets = shingle_sets.persist()
+        arrays = arrays.persist()
     sigs = minhash_signatures(raw, n_hashes, id_col, portable_hash)
     candidates = lsh_candidate_pairs(
         sigs, n_bands, id_col, max_bucket_size, n_hashes=n_hashes,
         observation=observation,
     )
-    return jaccard_pairs(shingle_sets, id_col, min_jaccard, candidates)
+    arr_a = arrays.select(
+        F.col(id_col).alias("id_a"), F.col("shingle_arr").alias("_arr_a")
+    ).join(candidates.select("id_a").distinct(), "id_a", "left_semi")
+    arr_b = arrays.select(
+        F.col(id_col).alias("id_b"), F.col("shingle_arr").alias("_arr_b")
+    ).join(candidates.select("id_b").distinct(), "id_b", "left_semi")
+    n_common = F.col("n_common")
+    result = (
+        candidates
+        .join(arr_a.hint("shuffle_hash"), "id_a")
+        .join(arr_b.hint("shuffle_hash"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size(F.array_intersect("_arr_a", "_arr_b"))
+            .cast("long").alias("n_common"),
+            F.size("_arr_a").cast("long").alias("_size_a"),
+            F.size("_arr_b").cast("long").alias("_size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            n_common / (F.col("_size_a") + F.col("_size_b") - n_common),
+        )
+        .select("id_a", "id_b", "n_common",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    if min_jaccard > 0:
+        result = result.filter(F.col("jaccard") >= min_jaccard)
+    return result
 
 
 def minhash_seen_matches(new_sigs, seen_sigs, n_bands=8, n_hashes=None,

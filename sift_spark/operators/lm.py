@@ -289,19 +289,37 @@ def score_perplexity(docs_df, lm, text_col="text", id_col="doc_id",
 
 
 def _ppl_udf(spark, lm):
-    """The narrow scoring kernel: counts collected to {(order, gram):
-    cnt} and Spark-broadcast; one Arrow-batched pandas UDF
+    """The narrow scoring kernel: counts collected to per-order
+    {gram: cnt} dicts and Spark-broadcast; one Arrow-batched pandas UDF
     re-implements the identical backoff cascade in pure Python (the
     per-token dict lookups dominate; vectorizing the string joins buys
     nothing). Returns a udf mapping text -> struct(lm_tokens, lm_oov,
-    lm_logprob10, lm_ppl)."""
+    lm_logprob10, lm_ppl).
+
+    The collected model + broadcast are MEMOIZED on the NgramLM
+    instance: repeated gates in one session (score + filter + bucket,
+    or a bench's best-of-N reps) were each re-collecting the count
+    table and re-broadcasting it -- pure driver latency on every call
+    for a model that cannot have changed (ADVICE r7)."""
     import re
 
     from pyspark.sql import types as T
 
-    model = {(r["order"], r["gram"]): r["cnt"]
-             for r in lm.counts.collect()}
-    bc = spark.sparkContext.broadcast(model)
+    bc = getattr(lm, "_udf_model_bc", None)
+    if bc is None:
+        # per-order dicts: one string-keyed lookup per probe instead of
+        # hashing an (order, gram) tuple in the per-token hot loop
+        by_order = [None] * (lm.n + 1)
+        for r in lm.counts.collect():
+            o = r["order"]
+            if by_order[o] is None:
+                by_order[o] = {}
+            by_order[o][r["gram"]] = r["cnt"]
+        for o in range(1, lm.n + 1):
+            if by_order[o] is None:
+                by_order[o] = {}
+        bc = spark.sparkContext.broadcast(by_order)
+        lm._udf_model_bc = bc
     n, alpha, total = lm.n, lm.alpha, float(lm.total_tokens)
     split_re = re.compile(_TOKEN_SPLIT)
 
@@ -314,7 +332,11 @@ def _ppl_udf(spark, lm):
 
     @F.pandas_udf(out_type)
     def _score(text: pd.Series) -> pd.DataFrame:
-        counts = bc.value
+        by_order = bc.value
+        uni = by_order[1]
+        # alpha^k table: the backoff multiplier is reused per token
+        pw = [alpha ** k for k in range(n + 1)]
+        log10 = math.log10
         out = []
         for t in text:
             toks = [w for w in split_re.split((t or "").lower()) if w]
@@ -324,32 +346,36 @@ def _ppl_udf(spark, lm):
             logp, oov = 0.0, 0
             for i, w in enumerate(toks):
                 o_eff = min(i + 1, n)
-                if (1, w) not in counts:
+                if w not in uni:
                     oov += 1
                 score = None
                 for o in range(o_eff, 1, -1):
                     g = " ".join(toks[i - o + 1: i + 1])
-                    c = counts.get((o, g))
+                    c = by_order[o].get(g)
                     if c is not None:
-                        ctx = counts.get(
-                            (o - 1, " ".join(toks[i - o + 1: i]))
+                        ctx = by_order[o - 1].get(
+                            " ".join(toks[i - o + 1: i])
                         )
                         if ctx:
-                            score = (alpha ** (o_eff - o)) * c / ctx
+                            score = pw[o_eff - o] * c / ctx
                             break
                 if score is None:
-                    c1 = counts.get((1, w))
-                    score = (alpha ** (o_eff - 1)) * (
+                    c1 = uni.get(w)
+                    score = pw[o_eff - 1] * (
                         (c1 / total) if c1 else (1.0 / total)
                     )
-                logp += math.log10(score)
+                logp += log10(score)
             out.append((len(toks), oov, logp,
                         10.0 ** (-logp / len(toks))))
         return pd.DataFrame(
             out, columns=["lm_tokens", "lm_oov", "lm_logprob10",
                           "lm_ppl"])
 
-    return _score
+    # pure function; the marker only stops the optimizer from pushing a
+    # downstream ppl filter (and this whole Python stage with it) below
+    # the load-spreading repartition into the few-task scan stage (see
+    # operators/extract.py make_extract_udf)
+    return _score.asNondeterministic()
 
 
 def _score_perplexity_udf(docs_df, lm, text_col, id_col):

@@ -330,7 +330,11 @@ def classifier_score_udf(spark, model):
                 out.append(1.0 / (1.0 + math.exp(-z)))
         return pd.Series(out)
 
-    return _score
+    # pure function; the marker stops the optimizer from pushing the
+    # min-score gate's filter (and this whole Python stage with it)
+    # below a load-spreading repartition into the few-task scan stage
+    # (see operators/extract.py make_extract_udf)
+    return _score.asNondeterministic()
 
 
 def score_text_classifier(docs_df, model, score_col="clf_score",
