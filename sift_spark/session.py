@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is bytes-blind: with the default 1 MB floor it
+        # collapses small-but-CPU-heavy shuffle stages (per-chunk BM25
+        # array folds, the grouped selection kernel -- a few MB of text
+        # driving seconds of per-row work) to 2-10 tasks on a 32-core
+        # box. A 64 KB floor restores parallelism for exactly those
+        # stages and is scale-neutral: at production shuffle sizes
+        # partitions are far above either floor, so the knob never
+        # engages there (parallelismFirst sizing still applies).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(shuffle))
