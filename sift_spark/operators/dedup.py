@@ -743,7 +743,8 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
 
 def minhash_seen_matches(new_sigs, seen_sigs, n_bands=8, n_hashes=None,
                          min_est_jaccard=0.5, id_col="doc_id",
-                         max_bucket_size=None, observation=None):
+                         max_bucket_size=None, observation=None,
+                         validate_seen=True):
     """INCREMENTAL near-dup candidates: (new_id, seen_id, est_jaccard)
     pairs between a new batch's minhash signatures and a PRIOR corpus
     represented only by its persisted signature table (VERDICT r6
@@ -775,13 +776,20 @@ def minhash_seen_matches(new_sigs, seen_sigs, n_bands=8, n_hashes=None,
     values -- mixing families simply matches nothing, so keep the
     snapshot's writer and reader on one setting."""
     n_hashes = _resolve_n_hashes(new_sigs, n_hashes)
-    seen_probe = seen_sigs.select("sig").first()  # empty seen is a no-op
-    if seen_probe is not None and len(seen_probe["sig"]) != n_hashes:
-        raise ValueError(
-            f"seen snapshot signatures carry {len(seen_probe['sig'])} "
-            f"hashes but the new batch uses {n_hashes} -- snapshot "
-            "writer and reader must share n_hashes"
-        )
+    if validate_seen:
+        # the probe is an eager one-row action: cheap on a materialized
+        # snapshot, but on a LAZY signature frame it executes part of
+        # the signature lineage at plan-build time once per call
+        # (ADVICE r7) -- callers in tight loops that already trust the
+        # snapshot config can pass validate_seen=False to skip it
+        seen_probe = seen_sigs.select("sig").first()  # empty seen: no-op
+        if seen_probe is not None and len(seen_probe["sig"]) != n_hashes:
+            raise ValueError(
+                f"seen snapshot signatures carry "
+                f"{len(seen_probe['sig'])} hashes but the new batch "
+                f"uses {n_hashes} -- snapshot writer and reader must "
+                "share n_hashes"
+            )
     new_bands = _band_table(new_sigs, n_bands, n_hashes, id_col) \
         .withColumnRenamed(id_col, "new_id")
     seen_bands = cap_seen_buckets(

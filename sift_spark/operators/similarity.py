@@ -403,8 +403,13 @@ def embedding_seen_matches(new_emb, seen_emb, min_cosine=0.95,
         # per-row width assertion INSIDE the plan: a wrong-width row
         # raises on the executor (null vecs fall through to the
         # otherwise branch as null -> null bucket -> unmatchable)
+        # guard the null case EXPLICITLY: under ANSI mode (the PySpark 4
+        # default) size(NULL) is NULL and the predicate is null-safe,
+        # but with spark.sql.ansi.enabled=false size(NULL) is -1 and a
+        # bare size(vec) != dim would raise for every null-embedding
+        # row instead of passing it through as documented (ADVICE r7)
         checked = F.when(
-            F.size(vec) != dim,
+            vec.isNotNull() & (F.size(vec) != dim),
             F.raise_error(F.concat(
                 F.lit(f"embedding width != dim={dim} (got "),
                 F.size(vec).cast("string"),

@@ -353,6 +353,41 @@ def test_evaluate_classifier_metrics(spark):
     assert m["auc"] == 1.0  # the fixture separates perfectly
 
 
+def test_evaluate_classifier_auc_multi_partition_ties(spark):
+    """The shuffle-safe rank-sum (per-score histogram + range-partitioned
+    cumulative offsets) must reproduce the average-rank AUC exactly on a
+    frame large enough to span many range partitions, with heavy tie
+    groups (repeated texts -> identical scores) and imperfect labels."""
+    from sift_spark.operators.textclf import evaluate_classifier
+
+    rows = []
+    i = 0
+    for rep in range(40):
+        for t in GOOD:
+            # flip some labels so AUC is strictly between 0.5 and 1 and
+            # tie groups mix labels
+            rows.append((i, f"{t} tail {rep % 5}", 0 if i % 7 == 0 else 1))
+            i += 1
+        for t in SPAM:
+            rows.append((i, f"{t} tail {rep % 5}", 1 if i % 11 == 0 else 0))
+            i += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).repartition(8)
+    model = train_text_classifier(
+        spark.createDataFrame(rows[:40], "doc_id long, text string, label int"),
+        n_buckets=256, n_iter=4,
+    )
+    m = evaluate_classifier(docs, model)
+    pairs = [
+        (r["clf_score"], r["label"])
+        for r in score_text_classifier(docs, model).collect()
+    ]
+    assert m["n"] == len(rows)
+    assert m["auc"] == pytest.approx(_ref_auc(pairs), abs=1e-12)
+    assert 0.5 < m["auc"] < 1.0
+
+
 def test_evaluate_classifier_degenerate_cases(spark):
     """Constant scores -> AUC 0.5 (all ties, average rank); single
     class -> AUC None."""
