@@ -42,6 +42,22 @@ def test_matches_serial_reference_exactly(spark):
     assert merged_dist == merged_serial
 
 
+def test_driver_loop_equals_distributed_loop(spark):
+    """The driver-side incremental merge loop (default under the
+    collect guard) and the distributed job-per-merge loop (forced via
+    driver_collect_limit=0) must produce the IDENTICAL merge list --
+    same pairs, same order, same early-stop."""
+    mod = _serial_trainer()
+    docs = spark.createDataFrame(
+        [(1, mod.SAMPLE), (2, mod.SAMPLE[: len(mod.SAMPLE) // 2])],
+        "doc_id long, text string",
+    )
+    driver = train_bpe(docs, 35)
+    distributed = train_bpe(docs, 35, driver_collect_limit=0)
+    assert driver == distributed
+    assert len(driver) == 35
+
+
 def test_multidoc_equals_concatenation_weights(spark):
     """Pre-tokenization makes training a pure function of the piece
     COUNT table, so splitting the sample across docs (and partitions)
