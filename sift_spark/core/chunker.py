@@ -30,7 +30,12 @@ _SENTENCE_SUFFIX = {
 
 
 def _blen(text):
-    """Byte length (Go len semantics)."""
+    """Byte length (Go len semantics). ASCII fast path: rune count ==
+    byte count, and str.isascii() is a C-speed scan while encode()
+    allocates a bytes copy -- this function runs per segment in the
+    chunk cascade, the extraction kernel's hottest loop."""
+    if text.isascii():
+        return len(text)
     return len(text.encode("utf-8", "surrogatepass"))
 
 
@@ -127,7 +132,8 @@ def _pack_words(segments, max_chunk_size):
     current = []
     current_len = 0
     for segment in segments:
-        needed = _blen(segment) + (1 if current else 0)
+        blen = _blen(segment)
+        needed = blen + (1 if current else 0)
         if current and current_len + needed > max_chunk_size:
             packed = trim_spaces_only(" ".join(current))
             if packed:
@@ -137,7 +143,7 @@ def _pack_words(segments, max_chunk_size):
         if current:
             current_len += 1
         current.append(segment)
-        current_len += _blen(segment)
+        current_len += blen
     if current:
         packed = trim_spaces_only(" ".join(current))
         if packed:

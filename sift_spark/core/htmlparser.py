@@ -237,10 +237,6 @@ def parse(html):
     stack = [root]
     i = 0
     n = len(html)
-    # length-preserving ASCII-only lowercase copy for close-tag searches:
-    # str.lower() can CHANGE length ('İ' -> 2 chars), misaligning indices,
-    # and re-lowercasing per raw-text element is quadratic
-    search_html = html.translate(_ASCII_LOWER)
 
     while i < n:
         lt = html.find("<", i)
@@ -311,8 +307,15 @@ def parse(html):
         stack[-1].append(node)
 
         if tag in RAW_TEXT_ELEMENTS and not self_closing:
-            # consume raw text until the matching close tag
-            close = search_html.find(f"</{tag}", i)
+            # consume raw text until the matching close tag. The
+            # ASCII-case-insensitive compiled search (re.A pins
+            # case-folding to A-Z, exactly the old translate table's
+            # semantics) replaces a full lowercased COPY of every
+            # document that was built up front even when no raw-text
+            # element appeared -- one O(n) allocation per page in the
+            # extraction kernel's hottest stage
+            close_m = _RAW_CLOSE_RES[tag].search(html, i)
+            close = close_m.start() if close_m else -1
             raw_end = n if close < 0 else close
             if raw_end > i:
                 node.append(Node(None, text=html[i:raw_end]))
@@ -352,9 +355,13 @@ def _append_text(parent, raw):
         parent.append(Node(None, text=unescape(raw)))
 
 
-_ASCII_LOWER = str.maketrans(
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
-)
+# per-raw-text-tag close-tag scanners; re.A restricts IGNORECASE to
+# ASCII so '</TITLE' matches but Unicode case-folded lookalikes do not
+# (the exact semantics of the former ASCII-only translate table)
+_RAW_CLOSE_RES = {
+    tag: re.compile(f"</{tag}", re.IGNORECASE | re.ASCII)
+    for tag in RAW_TEXT_ELEMENTS
+}
 
 
 def _split_self_closing(attr_src):

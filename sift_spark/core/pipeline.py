@@ -100,6 +100,18 @@ def apply_simple_size_limit(content, max_units, counting_method,
     if max_units <= 0:
         return content
     counter = Counter(counting_method, vocab_path)
+    # bind the scalar counting function once: Counter.count dispatches
+    # on method per call, and this loop runs per token of every
+    # extracted document
+    from .counters import CHARS as _CHARS, WORDS as _WORDS
+    from .counters import char_count, word_count
+
+    if counting_method == _WORDS:
+        count_fn = word_count
+    elif counting_method == _CHARS:
+        count_fn = char_count
+    else:
+        count_fn = counter.count
 
     # split into word tokens carrying their leading whitespace (plus a
     # possible trailing whitespace-only token) -- regex form of the Go
@@ -112,7 +124,7 @@ def apply_simple_size_limit(content, max_units, counting_method,
     result = []
     current_units = 0
     for token in tokens:
-        token_units = counter.count(token)
+        token_units = count_fn(token)
         if current_units + token_units > max_units:
             break
         result.append(token)

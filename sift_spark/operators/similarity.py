@@ -38,13 +38,27 @@ def cosine_col(a, b):
 
 def cosine_topk(emb_df, query_vec, k=10, id_col="vec_id", vec_col="embedding"):
     """Brute-force cosine top-k against a constant query vector.
-    Deterministic tiebreak on id."""
+    Deterministic tiebreak on id.
+
+    The QUERY's norm is a constant, but Catalyst does not constant-fold
+    higher-order functions, so norm_col(literal array) was re-evaluated
+    per row (dim interpreted lambda steps + sqrt, ~1/3 of the scan's
+    per-row cost). Precompute it driver-side with the identical
+    left-to-right double accumulation (0.0 + x*x ...) so the product,
+    division and round(6) stay bit-identical."""
+    import math
+
     query = F.array(*[F.lit(float(v)) for v in query_vec])
+    qnorm = 0.0
+    for v in query_vec:
+        qnorm = qnorm + float(v) * float(v)
+    qnorm = math.sqrt(qnorm)
+    vec = F.col(vec_col).cast("array<double>")
     scored = emb_df.select(
         F.col(id_col),
-        F.round(cosine_col(F.col(vec_col).cast("array<double>"), query), 6).alias(
-            "cosine"
-        ),
+        F.round(
+            dot_col(vec, query) / (norm_col(vec) * F.lit(qnorm)), 6
+        ).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
