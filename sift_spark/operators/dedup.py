@@ -111,9 +111,18 @@ def dedup_against_seen(docs_df, seen_df, id_col="doc_id",
 
     Plan: one left_anti equi-join on the 16-byte hash. The seen table
     at crawl scale is ~16 B/doc (10^12 docs -> ~16 TB) -- far past
-    broadcast range, so this is a plain shuffle anti-join both sides
-    keyed on the hash; a re-used bucketed layout on the snapshot table
-    is the storage-side refinement.
+    broadcast range. Fed a plain parquet path, both sides shuffle on
+    the hash; fed a snapshot written by :func:`write_seen_bucketed`
+    (a `bucketBy(N, content_hash)` catalog table, read back via
+    `spark.table`), the snapshot side arrives PRE-PARTITIONED and the
+    anti-join exchanges ONLY the new batch -- the weekly-crawl
+    economics this loop exists for (plan-shape-guarded in
+    tests/test_plan_shape.py). The hash is a stored column here, which
+    is exactly why bucketing works; the minhash/simhash seen loops
+    join on band/block columns DERIVED from the signature per run, so
+    bucketing those sinks by doc id cannot remove their exchange --
+    that would need the snapshot to persist the banded form itself (a
+    format change, deliberately not made).
 
     bloom_items (VERDICT r6 #4): enables the EXACTNESS-PRESERVING
     bloom pre-filter. One aggregation pass over the snapshot hashes
@@ -250,6 +259,40 @@ def dedup_against_seen(docs_df, seen_df, id_col="doc_id",
             "left_anti",
         ).drop("_chash")
     return kept.unionByName(null_text)
+
+
+def write_seen_bucketed(seen_df, table, key="content_hash",
+                        n_buckets=None, mode="overwrite", path=None):
+    """Persist a seen-loop snapshot as a BUCKETED catalog table so the
+    weekly anti-join reads it pre-partitioned on the join key: Spark
+    plans the join without an Exchange over the snapshot side (only the
+    new batch shuffles, into the snapshot's bucket count). At 10^12
+    historical docs that is the difference between re-exchanging ~16 TB
+    of hashes every week and none of them.
+
+    `bucketBy` requires saveAsTable (bucket metadata lives in the
+    catalog, not the parquet footer), so production use needs a
+    persistent catalog (Hive metastore / Iceberg-style); with the
+    default in-memory catalog the bucketing survives the current
+    session only -- fine for tests, not for the cross-session weekly
+    loop. The sortBy(key) lets sort-merge joins skip the snapshot-side
+    sort too when each bucket lands in one file.
+
+    n_buckets defaults to spark.sql.shuffle.partitions; at production
+    scale set it so buckets land in the 100 MB - 1 GB range. `path`
+    makes it an EXTERNAL table (data at the given location, metadata in
+    the catalog). Returns the DataFrame re-read through the catalog
+    (the form to feed dedup_against_seen)."""
+    spark = seen_df.sparkSession
+    n = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    writer = (
+        seen_df.write.mode(mode).format("parquet")
+        .bucketBy(n, key).sortBy(key)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return spark.table(table)
 
 
 def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",

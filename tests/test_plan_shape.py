@@ -311,6 +311,53 @@ def test_span_dedup_rolling_plan_shape(spark):
     assert count_nodes(plan, "Exchange") <= 4
 
 
+def test_bucketed_seen_snapshot_skips_snapshot_exchange(spark, tmp_path):
+    """The weekly exact-dedup anti-join must NOT re-shuffle a snapshot
+    written by write_seen_bucketed: fed the bucketed catalog table, the
+    plan carries exactly ONE Exchange (the new batch, into the bucket
+    count) while the plain-path snapshot costs two -- and both forms
+    keep identical outputs. Broadcast is disabled for the assertion so
+    the shuffle-join shape (the crawl-scale reality; a 10^12-doc hash
+    table never broadcasts) is what gets planned."""
+    from pyspark.sql import functions as F
+
+    from sift_spark.operators.dedup import (
+        content_hash_col,
+        dedup_against_seen,
+        write_seen_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i % 7}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        content_hash_col("text").alias("content_hash")
+    )
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    spark.sql("DROP TABLE IF EXISTS _test_seen_bucketed")
+    seen_b = write_seen_bucketed(
+        seen, "_test_seen_bucketed", n_buckets=4,
+        path=str(tmp_path / "seen_bucketed"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_plain = plan_of(dedup_against_seen(new, seen))
+        plan_bucketed = plan_of(dedup_against_seen(new, seen_b))
+        assert count_nodes(plan_plain, "Exchange") == 2
+        assert count_nodes(plan_bucketed, "Exchange") == 1, plan_bucketed
+        assert "Bucketed: true" in plan_bucketed
+        a = sorted(r["doc_id"]
+                   for r in dedup_against_seen(new, seen).collect())
+        b = sorted(r["doc_id"]
+                   for r in dedup_against_seen(new, seen_b).collect())
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS _test_seen_bucketed")
+
+
 def test_lm_scorer_single_corpus_shuffle(spark):
     """score_perplexity (join method, n=3): every count lookup is a
     BROADCAST join; the corpus side pays exactly ONE hash exchange on
