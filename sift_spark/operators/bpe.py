@@ -140,17 +140,25 @@ def _train_bpe_driver(rows, n_merges, min_freq):
             counts[pair] = counts.get(pair, 0) + w
             index.setdefault(pair, set()).add(idx)
 
-    def tie_key(item):
-        (left, right), cnt = item
-        return (cnt, [-x for x in left + right], [-x for x in left])
+    def tie_key(pair):
+        left, right = pair
+        return ([-x for x in left + right], [-x for x in left])
 
     merges = []
     for _ in range(n_merges):
         if not counts:
             break
-        (left, right), cnt = max(counts.items(), key=tie_key)
+        # two-pass argmax: a cheap scan for the top count, then the
+        # byte-order tie-break only over the (usually tiny) tied
+        # stratum -- building the negated-byte key lists for EVERY
+        # live pair every round would dominate at realistic vocab
+        # sizes (same trick as the distributed loop's _TIE_HEAD)
+        cnt = max(counts.values())
         if cnt < min_freq:
             break
+        left, right = max(
+            (p for p, c in counts.items() if c == cnt), key=tie_key
+        )
         merges.append((left, right))
         merged = left + right
         for idx in sorted(index.get((left, right), ())):

@@ -301,6 +301,13 @@ def char_shingles(docs_df, k=8, id_col="doc_id", text_col="text",
     sample_mod=s keeps only shingles with pmod(xxhash64(shingle), s)=0
     (hash-deterministic sampling for the 100 TB tier).
 
+    Kept in lock-step with :func:`char_shingle_arrays` (the un-exploded
+    twin) -- the two deliberately differ ONLY in the explode and in
+    null-element handling: this exploded form keeps the null "shingle"
+    row a null-text document produces (its signature presence is pinned
+    by persisted sig snapshots), while the array twin drops nulls so
+    array_intersect cannot match them.
+
     distinct=True gives SET semantics (needed for exact Jaccard);
     distinct=False keeps the raw multiset. BOTH forms are now fully
     narrow -- no shuffle at all: set semantics come from a per-document
@@ -352,6 +359,11 @@ def char_shingle_arrays(docs_df, k=8, id_col="doc_id", text_col="text",
     arr = F.array_distinct(
         F.transform(positions, lambda i: t.substr(i, F.lit(k)))
     )
+    # null text yields substr(null) = [null]: drop null elements so a
+    # pair of errored-extraction rows cannot intersect on the null
+    # "shingle" (array_intersect MATCHES nulls; the exploded form's
+    # equi-join dropped them, and the verify must agree with it)
+    arr = F.filter(arr, lambda s: s.isNotNull())
     if sample_mod:
         arr = F.filter(
             arr, lambda s: F.pmod(F.xxhash64(s), F.lit(sample_mod)) == 0
@@ -772,6 +784,11 @@ def minhash_near_duplicates(docs_df, k=8, n_hashes=32, n_bands=8,
             F.size("_arr_a").cast("long").alias("_size_a"),
             F.size("_arr_b").cast("long").alias("_size_b"),
         )
+        # n_common > 0 reproduces the exploded form's contract exactly:
+        # a candidate pair with NO shared shingle never surfaced there
+        # (the inner equi-join on shingle required a match), so it must
+        # not surface here either -- even at min_jaccard=0
+        .filter(n_common > 0)
         .withColumn(
             "jaccard",
             n_common / (F.col("_size_a") + F.col("_size_b") - n_common),

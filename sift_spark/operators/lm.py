@@ -305,7 +305,14 @@ def _ppl_udf(spark, lm):
 
     from pyspark.sql import types as T
 
-    bc = getattr(lm, "_udf_model_bc", None)
+    # memo keyed on the IDENTITY of the counts DataFrame: every
+    # documented way to change the model (pruning filters, persist,
+    # load_lm) REASSIGNS lm.counts to a new DataFrame object, which
+    # invalidates the cache; same-object repeat gates hit the memo
+    memo = getattr(lm, "_udf_model_bc", None)
+    bc = None
+    if memo is not None and memo[1] is lm.counts:
+        bc = memo[0]
     if bc is None:
         # per-order dicts: one string-keyed lookup per probe instead of
         # hashing an (order, gram) tuple in the per-token hot loop
@@ -319,7 +326,7 @@ def _ppl_udf(spark, lm):
             if by_order[o] is None:
                 by_order[o] = {}
         bc = spark.sparkContext.broadcast(by_order)
-        lm._udf_model_bc = bc
+        lm._udf_model_bc = (bc, lm.counts)
     n, alpha, total = lm.n, lm.alpha, float(lm.total_tokens)
     split_re = re.compile(_TOKEN_SPLIT)
 

@@ -413,9 +413,16 @@ def evaluate_classifier(docs_df, model, label_col="label",
     ).select(
         F.col("_s"), F.col(label_col).cast("int").alias("_y")
     )
+    # _gpos (raw sum of labels) feeds n_pos exactly as the old per-row
+    # F.sum("_y") did; _g1/_g0 count rows with label EXACTLY 1 / 0 so
+    # tp/fp/tn and the positive rank-sum keep the per-row form's
+    # semantics for null or non-binary labels (a null label is in
+    # neither, not an implicit negative)
     grouped = scored.groupBy("_s").agg(
         F.count("*").alias("_cnt"),
         F.sum("_y").alias("_gpos"),
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("_g1"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("_g0"),
     )
     # persist + materialize BEFORE reading partition ids: the offsets
     # collect and the final aggregation are two actions, and the range
@@ -460,14 +467,12 @@ def evaluate_classifier(docs_df, model, label_col="label",
         agg = ranked.agg(
             F.sum("_cnt").alias("n"),
             F.sum("_gpos").alias("n_pos"),
-            F.sum(F.col("_gpos") * F.col("_avg_rank")).alias("pos_ranks"),
-            F.sum(F.when(F.col("_s") >= threshold, F.col("_gpos"))
+            F.sum(F.col("_g1") * F.col("_avg_rank")).alias("pos_ranks"),
+            F.sum(F.when(F.col("_s") >= threshold, F.col("_g1"))
                   .otherwise(0)).alias("tp"),
-            F.sum(F.when(F.col("_s") >= threshold,
-                         F.col("_cnt") - F.col("_gpos"))
+            F.sum(F.when(F.col("_s") >= threshold, F.col("_g0"))
                   .otherwise(0)).alias("fp"),
-            F.sum(F.when(F.col("_s") < threshold,
-                         F.col("_cnt") - F.col("_gpos"))
+            F.sum(F.when(F.col("_s") < threshold, F.col("_g0"))
                   .otherwise(0)).alias("tn"),
         ).first()
     finally:
