@@ -359,11 +359,15 @@ def char_shingle_arrays(docs_df, k=8, id_col="doc_id", text_col="text",
     arr = F.array_distinct(
         F.transform(positions, lambda i: t.substr(i, F.lit(k)))
     )
-    # null text yields substr(null) = [null]: drop null elements so a
-    # pair of errored-extraction rows cannot intersect on the null
+    # null text yields substr(null) = [null]: map it to an EMPTY set so
+    # a pair of errored-extraction rows cannot intersect on the null
     # "shingle" (array_intersect MATCHES nulls; the exploded form's
-    # equi-join dropped them, and the verify must agree with it)
-    arr = F.filter(arr, lambda s: s.isNotNull())
+    # equi-join dropped them, and the verify must agree with it). A
+    # null element can arise ONLY from null text -- substr of a
+    # non-null string at positions >= 1 is never null -- so this whole-
+    # array guard is exactly a null-element filter without paying a
+    # per-element pass on every real document
+    arr = F.when(t.isNull(), F.array().cast("array<string>")).otherwise(arr)
     if sample_mod:
         arr = F.filter(
             arr, lambda s: F.pmod(F.xxhash64(s), F.lit(sample_mod)) == 0
