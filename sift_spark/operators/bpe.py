@@ -113,10 +113,18 @@ _PAIR_SCHEMA = T.StructType(
 _TIE_HEAD = 4096
 
 
+def _byte_order_key(left, right):
+    """The reference's total-order tie-break over a (left, right) byte
+    pair -- the ONE definition both the distributed argmax (_tie_key)
+    and the driver loop consume, so the merge ordering cannot diverge."""
+    merged = left + right
+    return ([-x for x in merged], [-x for x in left])
+
+
 def _tie_key(row):
-    left = bytes(row["left"])
-    merged = left + bytes(row["right"])
-    return (row["cnt"], [-x for x in merged], [-x for x in left])
+    return (row["cnt"],) + _byte_order_key(
+        bytes(row["left"]), bytes(row["right"])
+    )
 
 
 def _train_bpe_driver(rows, n_merges, min_freq):
@@ -141,8 +149,7 @@ def _train_bpe_driver(rows, n_merges, min_freq):
             index.setdefault(pair, set()).add(idx)
 
     def tie_key(pair):
-        left, right = pair
-        return ([-x for x in left + right], [-x for x in left])
+        return _byte_order_key(*pair)
 
     merges = []
     for _ in range(n_merges):

@@ -311,8 +311,17 @@ def _ppl_udf(spark, lm):
     # invalidates the cache; same-object repeat gates hit the memo
     memo = getattr(lm, "_udf_model_bc", None)
     bc = None
-    if memo is not None and memo[1] is lm.counts:
-        bc = memo[0]
+    if memo is not None:
+        if memo[1] is lm.counts:
+            bc = memo[0]
+        else:
+            # counts were reassigned (pruning/reload): free the stale
+            # model's executor+driver copies deterministically instead
+            # of waiting on the weak-reference ContextCleaner
+            try:
+                memo[0].unpersist()
+            except Exception:
+                pass  # a torn-down context must not block rescoring
     if bc is None:
         # per-order dicts: one string-keyed lookup per probe instead of
         # hashing an (order, gram) tuple in the per-token hot loop

@@ -413,11 +413,14 @@ def evaluate_classifier(docs_df, model, label_col="label",
     ).select(
         F.col("_s"), F.col(label_col).cast("int").alias("_y")
     )
-    # _gpos (raw sum of labels) feeds n_pos exactly as the old per-row
-    # F.sum("_y") did; _g1/_g0 count rows with label EXACTLY 1 / 0 so
-    # tp/fp/tn and the positive rank-sum keep the per-row form's
-    # semantics for null or non-binary labels (a null label is in
-    # neither, not an implicit negative)
+    # parity with the pinned per-row form, quirks included: _gpos (raw
+    # sum of labels) feeds n_pos exactly as the old F.sum("_y") did,
+    # while _g1/_g0 count rows with label EXACTLY 1 / 0 for tp/fp/tn
+    # and the positive rank-sum (per-row F.when(_y == 1/0) semantics).
+    # NOTE the per-row form's own caveats carry over deliberately:
+    # n / accuracy / the rank base still count null-label rows, and
+    # non-binary labels make n_pos diverge from the _g1-based counts --
+    # the documented contract is a 0/1 label column
     grouped = scored.groupBy("_s").agg(
         F.count("*").alias("_cnt"),
         F.sum("_y").alias("_gpos"),
